@@ -1,0 +1,192 @@
+"""Deterministic labeling backends (model stand-ins).
+
+The reference's quality comes from BERT checkpoints (conj + constrained-OIE,
+/root/reference/run.py:131-143) that are not shipped here. The engine
+therefore defines a per-stage ``Labeler`` contract — tokens in, per-depth
+label matrix out — with a deterministic rule-based implementation used for
+tests and benchmarks. Both the Spark pipeline and the sequential oracle use
+THESE SAME label generators; what the acceptance test then verifies is the
+distributed plumbing (segmentation, splitting, key propagation, dedup,
+ranking, ordering) against the reference's sequential control flow.
+
+A neural backend drops into the same ``mapInPandas`` stages by replacing
+these functions with batched tokenizer+model calls (singleton per worker,
+the reference's module-level pattern at /root/reference/data.py:28); the
+partitioning/shuffle story is unchanged.
+
+Label vocabularies (ids must match the reference):
+  OIE  {NONE:0, ARG1:1, REL:2, ARG2:3, LOC_TIME:4, TYPE:5}   data.py:407-409
+  CONJ {NONE:0, CP:1, CP_START:2, CC:3, SEP:4, OTHERS:5}     data.py:410-412
+"""
+
+from __future__ import annotations
+
+MAX_OIE_DEPTH = 5  # /root/reference/model.py:93
+MAX_CONJ_DEPTH = 3
+MAX_WORDS = 100  # sentences longer than this are skipped, data.py:284
+
+BE_FORMS = frozenset(["be", "is", "am", "are", "was", "were", "been", "being"])
+SAY_FORMS = frozenset(["said", "told", "says", "adds", "added"])
+VERB_LEXICON = frozenset(
+    [
+        "founded", "acquired", "visited", "joined", "praised", "criticized",
+        "advised", "funded", "studied", "mentored", "hired", "sued",
+        "increased", "decreased", "finished", "launched", "announced",
+    ]
+) | BE_FORMS | SAY_FORMS
+
+PUNCT = frozenset([".", ",", "!", "?", ";", ":", "''", "'", "``", "(", ")", "“", "”", "’"])
+CC_WORDS = frozenset(["and", "or", "nor", "&"])
+ROLE_NOUNS = frozenset(["chairman", "founder", "director", "advisor", "president"])
+PREPOSITIONS = frozenset(["in", "at", "on", "near", "from"])
+
+
+def is_verb(tok: str) -> bool:
+    return tok in VERB_LEXICON or (
+        tok.endswith("ed") and len(tok) > 4 and tok[0].islower()
+    )
+
+
+def is_sentinel(tok: str) -> bool:
+    return tok.startswith("[unused")
+
+
+# --------------------------------------------------------------------- OIE
+
+
+def oie_label_matrix(tokens: list[str]) -> tuple[list[list[int]], list[float]]:
+    """Per-depth OIE labels + confidences for one (sentinel-suffixed)
+    sentence. Depths = one per detected verb (≤5); a copular depth via the
+    [unused2] rel-case when a role noun but no verb is present."""
+    n = len(tokens)
+    core_len = sum(1 for t in tokens if not is_sentinel(t))
+    verb_idx = [
+        i for i, t in enumerate(tokens) if not is_sentinel(t) and is_verb(t)
+    ]
+    rows: list[list[int]] = []
+    confs: list[float] = []
+
+    def conf(depth: int) -> float:
+        return round(max(0.05, 0.99 - 0.12 * depth - 0.01 * (core_len % 7)), 2)
+
+    for depth, v in enumerate(verb_idx[:MAX_OIE_DEPTH]):
+        row = [0] * n
+        for i, t in enumerate(tokens):
+            if is_sentinel(t) or t in PUNCT:
+                continue
+            if i < v:
+                row[i] = 1
+            elif i == v:
+                row[i] = 2
+            else:
+                row[i] = 3
+        # trailing prepositional adjunct → LOC/TIME (folded back into arg2
+        # by the decoder, mirroring the reference's default arg2+loc_time)
+        for i in range(v + 1, n):
+            if tokens[i] in PREPOSITIONS:
+                for j in range(i, n):
+                    if not is_sentinel(tokens[j]) and tokens[j] not in PUNCT:
+                        row[j] = 4
+                break
+        rows.append(row)
+        confs.append(conf(depth))
+
+    if not rows:
+        role = next(
+            (i for i, t in enumerate(tokens) if t in ROLE_NOUNS), None
+        )
+        if role is not None:
+            row = [0] * n
+            for i, t in enumerate(tokens):
+                if is_sentinel(t) or t in PUNCT:
+                    continue
+                if i < role:
+                    row[i] = 1
+                elif i == role:
+                    row[i] = 2
+                elif t != "of":
+                    row[i] = 3
+            # rel-case 2 → decoder renders "is <role> of"
+            unused2 = next(i for i, t in enumerate(tokens) if t == "[unused2]")
+            row[unused2] = 2
+            # 'of' right after the role noun is absorbed by the rel case
+            if role + 1 < n and tokens[role + 1] == "of":
+                row[role + 1] = 0
+            rows.append(row)
+            confs.append(conf(0))
+    return rows, confs
+
+
+# -------------------------------------------------------------------- CONJ
+
+
+def _right_conjunct(tokens: list[str], cc: int) -> tuple[int, int] | None:
+    """Span of name-like tokens right of the cc (stop at verbs/punct/cc)."""
+    j = cc + 1
+    end = None
+    while j < len(tokens):
+        t = tokens[j]
+        if is_sentinel(t) or t in PUNCT or t in CC_WORDS or is_verb(t) or t in PREPOSITIONS:
+            break
+        end = j
+        j += 1
+        if j - cc > 4:
+            break
+    return (cc + 1, end) if end is not None else None
+
+
+def _left_conjuncts(tokens: list[str], cc: int) -> list[tuple[int, int]]:
+    """Comma-separated name-like spans walking left from the cc."""
+    spans: list[tuple[int, int]] = []
+    j = cc - 1
+    seg_end = None
+    while j >= 0:
+        t = tokens[j]
+        if t == ",":
+            if seg_end is None:
+                break
+            spans.append((j + 1, seg_end))
+            seg_end = None
+        elif t in PUNCT or t in CC_WORDS or is_verb(t) or is_sentinel(t) or t in PREPOSITIONS or not t[:1].isupper():
+            break
+        else:
+            if seg_end is None:
+                seg_end = j
+        j -= 1
+    if seg_end is not None:
+        spans.append((j + 1, seg_end))
+    spans.reverse()
+    return spans
+
+
+def conj_label_matrix(tokens: list[str]) -> list[list[int]]:
+    """Depth-0 conjunction labels for every non-overlapping coordination,
+    left to right. Returns [] when no coordination is found (the no-split
+    fast path)."""
+    n = len(tokens)
+    row = [0] * n
+    used_hi = -1
+    found = False
+    for cc, t in enumerate(tokens):
+        if t not in CC_WORDS or cc <= used_hi:
+            continue
+        left = [s for s in _left_conjuncts(tokens, cc) if s[0] > used_hi]
+        right = _right_conjunct(tokens, cc)
+        if not left or right is None:
+            continue
+        spans = left + [right]
+        if len(spans) < 2 or not (spans[0][1] < cc < spans[-1][0]):
+            continue
+        found = True
+        first = True
+        for (s, e) in spans:
+            row[s] = 2 if first else 1
+            for i in range(s + (1 if first else 0), e + 1):
+                row[i] = 1
+            first = False
+        row[cc] = 3
+        for i in range(spans[0][0], spans[-1][1] + 1):
+            if tokens[i] == ",":
+                row[i] = 4
+        used_hi = spans[-1][1]
+    return [row] if found else []

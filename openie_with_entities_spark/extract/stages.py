@@ -1,0 +1,149 @@
+"""The two heavy mapInPandas stages: conjunction splitting and OIE
+extraction.
+
+Stage contract (the reference's batch loop, re-expressed for Spark):
+
+  conj stage  ≙ conj-model predict + coordination decode + split
+               (/root/reference/run.py:162-232, model.py:656-690)
+  oie stage   ≙ oie-model predict + triple decode + insert-time dedup
+               (/root/reference/run.py:229-236, model.py:603-639)
+
+Both stages:
+  * are repartitioned by hash(conv_id) first — the explicit shuffle the
+    north rule requires, and the ONLY shuffle before the final aggregate;
+  * sort within partitions by token count (the reference's bucket-by-length
+    batching, /root/reference/data.py:469-472) so a batched neural backend
+    pads minimally;
+  * run per-Arrow-batch with NO per-row Python outside the batch loop —
+    swapping the rule-based labeler for a tokenizer+model call keeps the
+    same structure (the model handle would be a per-worker singleton, the
+    reference's module-level pattern at /root/reference/data.py:28).
+
+All keys travel as columns; the reference's driver-side ``mapping`` /
+``conj_word_mapping`` dicts (/root/reference/run.py:163-204) do not exist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.decode import (
+    SENTINELS,
+    decode_coordinations,
+    decode_extractions,
+    split_by_coordinations,
+)
+from .labeler import conj_label_matrix, oie_label_matrix
+
+SPLIT_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+    "n_splits int, split_text string, conj_words array<string>"
+)
+
+TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, split_idx int, ext_idx int, "
+    "arg1 string, rel string, arg2 string, confidence double"
+)
+
+
+def _strip_sentinels(text: str) -> str:
+    """Recover the clean sentence from a sentinel-suffixed one — the
+    reference's orig-sentence recovery (/root/reference/model.py:613)."""
+    return text.split("[unused1]")[0].strip()
+
+
+def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | None) -> DataFrame:
+    out = df.repartition(*( [partitions] if partitions else [] ), F.col("conv_id"))
+    return out.sortWithinPartitions(F.size(F.split(F.col(text_col), " ")))
+
+
+def conj_split_stage(
+    sentences: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """sentences → one row per split sentence.
+
+    A sentence with no (splittable) coordination yields itself as its single
+    split (split_idx 0, n_splits 1) — the identity-mapping case of
+    /root/reference/run.py:183-186.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "sent_idx": [],
+                "split_idx": [], "n_splits": [], "split_text": [],
+                "conj_words": [],
+            }
+            for conv_id, turn_idx, sent_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"], pdf["text"]
+            ):
+                tokens = text.split() + SENTINELS
+                coords = decode_coordinations(conj_label_matrix(tokens))
+                texts, conj_words, _ = split_by_coordinations(coords, tokens)
+                splits = [_strip_sentinels(t) for t in texts] or [text]
+                for k, s in enumerate(splits):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["sent_idx"].append(sent_idx)
+                    out["split_idx"].append(k)
+                    out["n_splits"].append(len(splits))
+                    out["split_text"].append(s)
+                    out["conj_words"].append(conj_words)
+            yield pd.DataFrame(out)
+
+    eligible = sentences.where(F.col("eligible")).select(
+        "conv_id", "turn_idx", "sent_idx", "text"
+    )
+    return _partition_for_inference(eligible, "text", partitions).mapInPandas(
+        run, schema=SPLIT_SCHEMA
+    )
+
+
+def oie_stage(splits: DataFrame, partitions: int | None = None) -> DataFrame:
+    """split sentences → raw extractions (pre global dedup/ranking).
+
+    Insert-time dedup WITHIN one split sentence (first depth wins) happens
+    here, exactly like the reference's per-sentence loop; cross-split dedup
+    under the original sentence is a separate relational operator
+    (see operators.dedup).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "sent_idx": [],
+                "split_idx": [], "ext_idx": [], "arg1": [], "rel": [],
+                "arg2": [], "confidence": [],
+            }
+            for conv_id, turn_idx, sent_idx, split_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
+                pdf["split_idx"], pdf["split_text"],
+            ):
+                tokens = text.split() + SENTINELS
+                rows, confs = oie_label_matrix(tokens)
+                for j, (arg1, rel, arg2, conf) in enumerate(
+                    decode_extractions(rows, tokens, confs)
+                ):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["sent_idx"].append(sent_idx)
+                    out["split_idx"].append(split_idx)
+                    out["ext_idx"].append(j)
+                    out["arg1"].append(arg1)
+                    out["rel"].append(rel)
+                    out["arg2"].append(arg2)
+                    out["confidence"].append(conf)
+            yield pd.DataFrame(out)
+
+    narrow = splits.select(
+        "conv_id", "turn_idx", "sent_idx", "split_idx", "split_text"
+    )
+    # Already partitioned by conv_id from the conj stage — no new shuffle
+    # unless the caller asks for a different width.
+    if partitions:
+        narrow = _partition_for_inference(narrow, "split_text", partitions)
+    return narrow.mapInPandas(run, schema=TRIPLE_SCHEMA)

@@ -1,0 +1,53 @@
+"""Relational post-processing of extractions: cross-split dedup under the
+original sentence and per-sentence top-k ranking.
+
+  dedup_triples ≙ contains_extraction insert-time dedup pooled under the
+                  original sentence (/root/reference/model.py:595-634) —
+                  expressed as a deterministic keep-first window instead of
+                  a driver-side dict, so the surviving duplicate is the one
+                  the reference's sequential insertion order would keep.
+  topk_triples  ≙ confidence-desc top-k per sentence
+                  (/root/reference/metric.py:435-438).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SENT_KEY = ["conv_id", "turn_idx", "sent_idx"]
+
+
+def dedup_triples(raw: DataFrame) -> DataFrame:
+    """Keep the first-inserted extraction per (sentence, arg1, arg2, rel):
+    first by split order, then by depth order — the reference's insertion
+    order. A plain ``dropDuplicates`` would be nondeterministic about which
+    duplicate's confidence survives."""
+    w = Window.partitionBy(*SENT_KEY, "arg1", "arg2", "rel").orderBy(
+        "split_idx", "ext_idx"
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_triples(triples: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k extractions per original sentence by confidence (ties broken
+    deterministically by insertion order)."""
+    w = Window.partitionBy(*SENT_KEY).orderBy(
+        F.col("confidence").desc(), "split_idx", "ext_idx"
+    )
+    return (
+        triples.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def merge_extraction_sets(a: DataFrame, b: DataFrame, k: int = 5) -> DataFrame:
+    """Union two extraction tables, dedup by extraction identity, re-rank —
+    the reference's merge_output_files flow
+    (/root/reference/utils/merge_output_files.py:13-85)."""
+    merged = a.unionByName(b, allowMissingColumns=True)
+    return topk_triples(dedup_triples(merged), k)

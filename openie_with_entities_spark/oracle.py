@@ -1,0 +1,102 @@
+"""Sequential oracle: the reference's splitpredict control flow
+(/root/reference/run.py:162-245) reproduced as single-process Python over
+plain rows, driving the SAME deterministic labelers as the Spark stages.
+
+This is the "reference-emitted triples" generator for the acceptance test:
+the Spark engine's distributed plumbing (segmentation, key propagation,
+splitting, insert-order dedup, ranking, ordering) must reproduce this flow's
+output at P/R ≥ 0.95 (BASELINE.json). It deliberately mirrors the
+reference's architecture — global ``mapping`` / ``conj_word_mapping`` dicts
+keyed by sentence text (/root/reference/run.py:163-204), per-sentence
+accumulation dict with insert-time dedup (/root/reference/model.py:609-634)
+— everything the Spark engine replaces with key columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .extract.labeler import conj_label_matrix, oie_label_matrix
+from .functions.decode import (
+    SENTINELS,
+    decode_coordinations,
+    decode_extractions,
+    extraction_key,
+    normalize_quotes,
+    split_by_coordinations,
+)
+
+_SENT_BREAK = re.compile(r"(?<= [.!?]) ")
+MAX_WORDS_WITH_SENTINELS = 100  # /root/reference/data.py:284
+
+
+def segment_text(text: str) -> list[str]:
+    if not text:
+        return []
+    return [s for s in _SENT_BREAK.split(text) if s != ""]
+
+
+def reference_triples(
+    turns: list[tuple[str, int, str]],
+) -> list[dict]:
+    """turns: (conv_id, turn_idx, text) in stable order → triples rows.
+
+    Returns dicts with conv_id/turn_idx/sent_idx/arg1/rel/arg2/confidence,
+    ordered exactly as the reference's sequential writer would emit them.
+    """
+    # ---- ingest: segment + normalize + length guard (data.py:417-446, 284)
+    sentences: list[tuple[str, int, int, str]] = []
+    for conv_id, turn_idx, text in turns:
+        for sent_idx, raw in enumerate(segment_text(text)):
+            sent = normalize_quotes(raw)
+            if len(sent.split()) + len(SENTINELS) > MAX_WORDS_WITH_SENTINELS:
+                continue
+            sentences.append((conv_id, turn_idx, sent_idx, sent))
+
+    # ---- conj pass: split sentences, build split→orig mapping
+    # (run.py:162-227, model.py:656-690)
+    mapping: list[tuple[tuple, str]] = []  # (orig key, split text) in order
+    for key_conv, key_turn, key_sent, sent in sentences:
+        tokens = sent.split() + SENTINELS
+        coords = decode_coordinations(conj_label_matrix(tokens))
+        split_texts, _conj_words, _idx = split_by_coordinations(coords, tokens)
+        splits = [
+            t.split("[unused1]")[0].strip() for t in split_texts
+        ] or [sent]
+        for s in splits:
+            mapping.append(((key_conv, key_turn, key_sent), s))
+
+    # ---- oie pass: extract per split, pool under the original sentence
+    # with insert-time dedup (model.py:603-639)
+    pooled: dict[tuple, list] = {}
+    order: list[tuple] = []
+    for orig_key, split_text in mapping:
+        tokens = split_text.split() + SENTINELS
+        rows, confs = oie_label_matrix(tokens)
+        if orig_key not in pooled:
+            pooled[orig_key] = []
+            order.append(orig_key)
+        bucket = pooled[orig_key]
+        seen = {extraction_key(a1, a2, r) for (a1, r, a2, _) in bucket}
+        for arg1, rel, arg2, conf in decode_extractions(rows, tokens, confs):
+            k = extraction_key(arg1, arg2, rel)
+            if k not in seen:
+                seen.add(k)
+                bucket.append((arg1, rel, arg2, conf))
+
+    out = []
+    for key in order:
+        conv_id, turn_idx, sent_idx = key
+        for arg1, rel, arg2, conf in pooled[key]:
+            out.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": turn_idx,
+                    "sent_idx": sent_idx,
+                    "arg1": arg1,
+                    "rel": rel,
+                    "arg2": arg2,
+                    "confidence": conf,
+                }
+            )
+    return out
