@@ -1,0 +1,131 @@
+"""Canonicalization: cluster coreferent argument surfaces with connected
+components over a similarity edge DataFrame, then materialize the
+entity-node table and rewrite triple arguments to canonical ids.
+
+The reference's closest behavior is string-equality clustering of
+extractions (/root/reference/model.py:595-599) plus alias snapping
+(/root/reference/scripts/baselines.py:50-88); at 10^12 turns this becomes a
+graph problem: surfaces linking to the same KB entity, or normalizing to the
+same string, are one node cluster.
+
+``connected_components`` is the standard alternating min-label propagation
+(large-star/small-star family) as iterative DataFrame joins:
+
+  * labels start as each node's own id;
+  * each round every node takes min(own label, neighbors' labels);
+  * ``localCheckpoint`` truncates the lineage each round (without it the
+    plan doubles per iteration and the driver OOMs long before 100 TB);
+  * convergence is a driver-side count of changed labels (cheap: one agg).
+
+Rounds needed = graph diameter ≈ alias-chain length (tiny, single digits),
+NOT corpus size — this loop scales with dictionary structure, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(src string, dst string) → (node string, component string),
+    component = lexicographic min node id in the component."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("component") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def build_entity_edges(linked_mentions: DataFrame) -> DataFrame:
+    """Similarity edges between surface nodes and KB-entity nodes:
+      * surface ↔ entity_id from the alias link (aliases of one entity
+        become one component through the kb: node)
+      * exact normalized-surface equality is the node identity itself."""
+    return linked_mentions.select(
+        F.concat(F.lit("s:"), "surface_norm").alias("src"),
+        F.concat(F.lit("e:"), "entity_id").alias("dst"),
+    ).distinct()
+
+
+def canonicalize(
+    triples: DataFrame, linked_mentions: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, DataFrame]:
+    """→ (entity_nodes, triples with canonical arg entity ids).
+
+    entity_nodes: one row per cluster member with its canonical cluster id
+    (min KB entity id in the component, falling back to min member).
+    """
+    edges = build_entity_edges(linked_mentions)
+    comps = connected_components(edges, max_iter)
+
+    # canonical id per component: the smallest KB entity id if present
+    canon = comps.groupBy("component").agg(
+        F.min(F.when(F.col("node").startswith("e:"), F.expr("substring(node, 3)"))).alias(
+            "canonical_id"
+        ),
+        F.min("node").alias("_fallback"),
+    ).select(
+        "component",
+        F.coalesce("canonical_id", "_fallback").alias("canonical_id"),
+    )
+    entity_nodes = (
+        comps.join(canon, "component")
+        .select(
+            "canonical_id",
+            F.col("node").alias("member"),
+            F.col("node").startswith("e:").alias("is_kb_entity"),
+        )
+    )
+
+    # mention surface → canonical id (broadcastable: bounded by dictionary
+    # + distinct linked surfaces, tiny next to the triples table)
+    surface_to_canon = (
+        entity_nodes.where(~F.col("is_kb_entity"))
+        .select(
+            F.expr("substring(member, 3)").alias("surface_norm"),
+            "canonical_id",
+        )
+        .dropDuplicates(["surface_norm"])
+    )
+
+    key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
+    first_mention = (
+        linked_mentions.groupBy(*key, "arg_pos")
+        .agg(F.min_by("surface_norm", "begin_word").alias("surface_norm"))
+        .join(F.broadcast(surface_to_canon), "surface_norm", "left")
+    )
+    a1 = first_mention.where("arg_pos = 1").select(
+        *key, F.col("canonical_id").alias("arg1_entity_id")
+    )
+    a2 = first_mention.where("arg_pos = 2").select(
+        *key, F.col("canonical_id").alias("arg2_entity_id")
+    )
+    canon_triples = triples.join(a1, key, "left").join(a2, key, "left")
+    return entity_nodes, canon_triples

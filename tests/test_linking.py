@@ -1,0 +1,170 @@
+"""Linking, canonicalization, and checkpoint/resume tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openie_with_entities_spark.canonicalize import canonicalize, connected_components
+from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+from openie_with_entities_spark.extract.mentions import detect_mentions
+from openie_with_entities_spark.linking import (
+    link_mentions,
+    link_mentions_salted,
+    link_triples,
+    per_org_pairs,
+    violation_counters,
+)
+from openie_with_entities_spark.plans.checkpoint import CheckpointManager
+from openie_with_entities_spark.plans.pipeline import extract_triples
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    t = generate_transcripts(spark, 40)
+    res = extract_triples(t, partitions=8)
+    return res.triples.cache()
+
+
+@pytest.fixture(scope="module")
+def mentions(triples):
+    return detect_mentions(triples).cache()
+
+
+@pytest.fixture(scope="module")
+def aliases(spark):
+    return alias_dict(spark)
+
+
+def test_mentions_detected(mentions):
+    rows = mentions.where(
+        F.col("mention") == "Alan Turing"
+    ).limit(1).collect()
+    assert rows and rows[0].surface_norm == "alan turing"
+
+
+def test_broadcast_and_salted_links_agree(mentions, aliases):
+    a = link_mentions(mentions, aliases)
+    b = link_mentions_salted(mentions, aliases, n_salt=8)
+    cols = sorted(a.columns)
+    assert a.count() > 0
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
+def test_best_prior_wins(spark, aliases):
+    # "turing" is an alias of Alan Turing with a lower prior than the full
+    # name; a mention matching both surfaces picks the higher prior.
+    m = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "conv_id": "c", "turn_idx": 0, "sent_idx": 0,
+                    "split_idx": 0, "ext_idx": 0, "arg_pos": 1,
+                    "mention": "Alan Turing", "surface_norm": "alan turing",
+                    "begin_word": 0, "end_word": 1,
+                }
+            ]
+        )
+    )
+    linked = link_mentions(m, aliases).collect()
+    assert len(linked) == 1
+    assert linked[0].canonical_name == "Alan Turing"
+
+
+def test_link_triples_and_violations(triples, mentions, aliases):
+    linked = link_triples(triples, link_mentions(mentions, aliases))
+    assert linked.count() == triples.count()  # left joins preserve rows
+    some_linked = linked.where(F.col("arg1_entity_id").isNotNull()).count()
+    assert some_linked > 0
+    v = violation_counters(linked).collect()[0]
+    assert v.n_extractions == triples.count()
+    assert v.c1_no_entity_in_args >= 0
+    pairs = per_org_pairs(linked)
+    # corpus has PER-subject ORG-object sentences ("X founded Acme Corp")
+    assert pairs.count() > 0
+    bad = pairs.where(
+        (F.col("arg1_ner_type") != "PER") | (F.col("arg2_ner_type") != "ORG")
+    ).count()
+    assert bad == 0
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    comps = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["a"] != comps["x"]
+
+
+def test_canonicalize_aliases_cluster(spark, triples, mentions, aliases):
+    linked = link_mentions(mentions, aliases)
+    entity_nodes, canon_triples = canonicalize(triples, linked)
+    # every alias surface of one entity lands in the same cluster
+    surf = {
+        r.member: r.canonical_id
+        for r in entity_nodes.where(~F.col("is_kb_entity")).collect()
+    }
+    if "s:alan turing" in surf and "s:turing" in surf:
+        assert surf["s:alan turing"] == surf["s:turing"]
+    # canonical ids are KB entity ids where available
+    kb_ids = entity_nodes.where(
+        F.col("canonical_id").startswith("E")
+    ).count()
+    assert kb_ids > 0
+    assert canon_triples.count() == triples.count()
+
+
+def test_checkpoint_resume(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ckpt"))
+    t = generate_transcripts(spark, 20).cache()
+    mgr = CheckpointManager(spark, base, n_buckets=8)
+
+    def transform(df):
+        return df.select("conv_id", "turn_idx", F.length("text").alias("n"))
+
+    r1 = mgr.run_stage("lens", t, transform)
+    assert r1.buckets_processed == 8 and r1.buckets_skipped == 0
+    n1 = r1.output.count()
+
+    # resume: nothing recomputed, same output
+    r2 = mgr.run_stage("lens", t, transform)
+    assert r2.buckets_processed == 0 and r2.buckets_skipped == 8
+    assert r2.output.count() == n1
+
+    # lineage covers all buckets exactly once
+    lin = mgr.lineage("lens")
+    assert lin.count() == 8
+    assert lin.agg(F.sum("rows_out")).collect()[0][0] == n1
+
+
+def test_checkpoint_partial_resume(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ckpt2"))
+    t = generate_transcripts(spark, 20).cache()
+    full = CheckpointManager(spark, base, n_buckets=8)
+
+    # simulate an interrupted run: only half the buckets got lineage
+    from openie_with_entities_spark.plans.checkpoint import with_bucket
+
+    def transform(df):
+        return df.select("conv_id", "turn_idx", F.length("text").alias("n"))
+
+    half_input = with_bucket(t, 8).where(F.col("_bucket") < 4).drop("_bucket")
+    full.run_stage("lens", half_input, transform)
+    done_before = full.completed_buckets("lens")
+    assert done_before == set(range(8))  # all buckets marked (empty ones too)
+
+    # a stricter partial: wipe lineage for buckets >= 4 by rebuilding
+    base2 = str(tmp_path_factory.mktemp("ckpt3"))
+    mgr = CheckpointManager(spark, base2, n_buckets=8)
+    mgr.run_stage("lens", half_input, transform)
+    import shutil, os
+
+    # now full input: buckets 0-3 skipped, 4-7 processed — but lineage says
+    # all done; emulate crash-before-lineage by deleting lineage dir
+    shutil.rmtree(os.path.join(base2, "lens", "lineage"))
+    r = mgr.run_stage("lens", t, transform)
+    assert r.buckets_processed == 8
+    expected = t.count()
+    assert r.output.count() == expected
