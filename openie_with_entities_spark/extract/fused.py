@@ -1,0 +1,133 @@
+"""Fused extraction stage: segmentation + conj-split + OIE + per-sentence
+dedup + mention linking summary in ONE mapInPandas pass over raw turns.
+
+The modular stages (segment.py, stages.py, mentions.py) exist for parity
+testing and for deployments where the conj and OIE models run on different
+hardware pools. At 100 TB the dominant costs besides the model forward
+passes are (a) rows crossing the JVM↔Python Arrow channel and (b) shuffles
+between stages. Fusing the per-sentence pipeline:
+
+  * feeds TURNS through Arrow (2-3× fewer rows than sentences, ~5× fewer
+    than split sentences) and emits only flat triple rows — no nested
+    structs;
+  * performs the reference's insert-order extraction dedup
+    (/root/reference/model.py:595-634) in-UDF (all splits of a sentence are
+    computed together), removing the window-dedup shuffle;
+  * reduces the job to a SINGLE shuffle: the explicit conv_id repartition.
+
+Equivalence with the modular path is asserted by tests/test_fused.py.
+
+Batched-model note: a neural backend calls the conj model once per Arrow
+batch, expands splits, then calls the OIE model once on the expanded batch —
+the same two batched forward passes as the reference's two predict() loops,
+just colocated.
+
+Linking summary: the stage takes the (broadcast-sized, deduplicated)
+dictionary SURFACE SET and emits, per argument, the first dictionary-matched
+mention surface and the matched-mention count; entity resolution stays
+JVM-side (map-literal / broadcast join) in linking.link_triples_inline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.decode import (
+    SENTINELS,
+    decode_coordinations,
+    decode_extractions,
+    extraction_key,
+    normalize_quotes,
+    split_by_coordinations,
+)
+from ..oracle import MAX_WORDS_WITH_SENTINELS, segment_text
+from .labeler import conj_label_matrix, oie_label_matrix
+from .mentions import _spans, normalize_surface
+from .stages import _partition_for_inference, _strip_sentinels
+
+FUSED_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, split_idx int, ext_idx int, "
+    "arg1 string, rel string, arg2 string, confidence double, "
+    "arg1_surface string, arg1_n_mentions int, "
+    "arg2_surface string, arg2_n_mentions int"
+)
+
+
+def _link_summary(text: str, surfaces: frozenset[str]) -> tuple[str | None, int]:
+    """(first dictionary-matched mention surface, matched count) for one arg."""
+    tokens = text.split()
+    first = None
+    n = 0
+    for (s, e) in _spans(tokens):
+        surf = normalize_surface(" ".join(tokens[s : e + 1]))
+        if surf in surfaces:
+            n += 1
+            if first is None:
+                first = surf
+    return first, n
+
+
+def fused_extract_stage(
+    transcripts: DataFrame,
+    surfaces: frozenset[str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """turns → deduped triples with per-arg link summaries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx",
+                "arg1", "rel", "arg2", "confidence",
+                "arg1_surface", "arg1_n_mentions",
+                "arg2_surface", "arg2_n_mentions",
+            )}
+            for conv_id, turn_idx, turn_text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for sent_idx, raw in enumerate(segment_text(turn_text)):
+                    text = normalize_quotes(raw)
+                    tokens = text.split() + SENTINELS
+                    if len(tokens) > MAX_WORDS_WITH_SENTINELS:
+                        continue
+                    coords = decode_coordinations(conj_label_matrix(tokens))
+                    split_texts, _cw, _ = split_by_coordinations(coords, tokens)
+                    splits = [_strip_sentinels(t) for t in split_texts] or [text]
+                    seen: set[str] = set()
+                    for split_idx, split in enumerate(splits):
+                        stoks = split.split() + SENTINELS
+                        rows, confs = oie_label_matrix(stoks)
+                        for ext_idx, (arg1, rel, arg2, conf) in enumerate(
+                            decode_extractions(rows, stoks, confs)
+                        ):
+                            key = extraction_key(arg1, arg2, rel)
+                            if key in seen:
+                                continue
+                            seen.add(key)
+                            s1, n1 = _link_summary(arg1, surfaces)
+                            s2, n2 = _link_summary(arg2, surfaces)
+                            out["conv_id"].append(conv_id)
+                            out["turn_idx"].append(turn_idx)
+                            out["sent_idx"].append(sent_idx)
+                            out["split_idx"].append(split_idx)
+                            out["ext_idx"].append(ext_idx)
+                            out["arg1"].append(arg1)
+                            out["rel"].append(rel)
+                            out["arg2"].append(arg2)
+                            out["confidence"].append(conf)
+                            out["arg1_surface"].append(s1)
+                            out["arg1_n_mentions"].append(n1)
+                            out["arg2_surface"].append(s2)
+                            out["arg2_n_mentions"].append(n2)
+            yield pd.DataFrame(out)
+
+    turns = transcripts.where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select("conv_id", "turn_idx", "text")
+    return _partition_for_inference(turns, "text", partitions).mapInPandas(
+        run, schema=FUSED_SCHEMA
+    )

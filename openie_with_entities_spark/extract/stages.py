@@ -57,7 +57,17 @@ def _strip_sentinels(text: str) -> str:
 
 
 def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | None) -> DataFrame:
-    out = df.repartition(*( [partitions] if partitions else [] ), F.col("conv_id"))
+    """Explicit conv_id-hash repartition with a PINNED partition count.
+
+    The count must be explicit: AQE's coalescing optimizes for shuffle-block
+    size and would shrink a text-sized corpus to a handful of partitions —
+    correct for IO-bound SQL, disastrous for a CPU-bound model stage (7 of
+    32 cores busy, measured). Inference stages are compute-bound, so
+    parallelism follows cores (×3 for stragglers), not bytes.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 3
+    out = df.repartition(partitions, F.col("conv_id"))
     return out.sortWithinPartitions(F.size(F.split(F.col(text_col), " ")))
 
 

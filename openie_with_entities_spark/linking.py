@@ -30,43 +30,52 @@ MENTION_KEY = [
 ]
 
 
-def _pick_best(joined: DataFrame) -> DataFrame:
-    """One entity per mention: max prior, entity_id as deterministic tiebreak."""
-    return joined.groupBy(*MENTION_KEY).agg(
-        F.first("mention").alias("mention"),
-        F.first("surface_norm").alias("surface_norm"),
-        F.first("end_word").alias("end_word"),
-        F.max(
-            F.struct(F.col("prior"), F.col("entity_id"), F.col("canonical_name"), F.col("ner_type"))
-        ).alias("_best"),
-    ).select(
-        *MENTION_KEY,
-        "mention",
-        "surface_norm",
-        "end_word",
-        F.col("_best.entity_id").alias("entity_id"),
-        F.col("_best.canonical_name").alias("canonical_name"),
-        F.col("_best.ner_type").alias("ner_type"),
-        F.col("_best.prior").alias("prior"),
+def _best_alias_per_surface(alias: DataFrame) -> DataFrame:
+    """Disambiguate INSIDE the dictionary (tiny side): one entity per
+    surface by max prior, entity_id as deterministic tiebreak. Doing this
+    before the join means the huge mention side never needs a dedup shuffle
+    after linking."""
+    return (
+        alias.groupBy("surface_form")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("prior"),
+                    F.col("entity_id"),
+                    F.col("canonical_name"),
+                    F.col("ner_type"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "surface_form",
+            F.col("_best.entity_id").alias("entity_id"),
+            F.col("_best.canonical_name").alias("canonical_name"),
+            F.col("_best.ner_type").alias("ner_type"),
+            F.col("_best.prior").alias("prior"),
+        )
     )
 
 
 def link_mentions(mentions: DataFrame, alias: DataFrame) -> DataFrame:
-    """Broadcast equi-join on the normalized surface form."""
-    joined = mentions.join(
-        F.broadcast(alias),
-        mentions["surface_norm"] == alias["surface_form"],
+    """Broadcast equi-join on the normalized surface form — zero shuffle of
+    the mention side."""
+    best = _best_alias_per_surface(alias)
+    return mentions.join(
+        F.broadcast(best),
+        mentions["surface_norm"] == best["surface_form"],
         "inner",
     ).drop("surface_form")
-    return _pick_best(joined)
 
 
 def link_mentions_salted(
     mentions: DataFrame, alias: DataFrame, n_salt: int = 16
 ) -> DataFrame:
     """Skew-proof shuffle join: replicate the dictionary across n_salt
-    buckets, salt the probe side deterministically, join on (surface, salt)."""
-    salted_alias = alias.withColumn(
+    buckets, salt the probe side deterministically, join on (surface, salt).
+    Any hot surface form's reducers are bounded to 1/n_salt of its rows."""
+    best = _best_alias_per_surface(alias)
+    salted_alias = best.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     salted_mentions = mentions.withColumn(
@@ -76,13 +85,12 @@ def link_mentions_salted(
             F.lit(n_salt),
         ).cast("int"),
     )
-    joined = salted_mentions.join(
-        salted_alias,
+    return salted_mentions.join(
+        salted_alias.hint("shuffle_hash"),
         (salted_mentions["surface_norm"] == salted_alias["surface_form"])
         & (salted_mentions["_salt"] == salted_alias["_salt"]),
         "inner",
     ).drop("_salt").drop("surface_form")
-    return _pick_best(joined)
 
 
 def link_triples(
@@ -90,32 +98,84 @@ def link_triples(
 ) -> DataFrame:
     """Annotate triples with the linked entity per argument (the first
     mention of each arg wins, mirroring 'exactly one entity' semantics of
-    /root/reference/scripts/pubmed_analysis.py:61-77)."""
-    per_arg = (
-        linked_mentions.groupBy(
-            "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx", "arg_pos"
-        )
-        .agg(
-            F.min_by(
-                F.struct("entity_id", "canonical_name", "ner_type"), F.col("begin_word")
-            ).alias("ent"),
-            F.count("*").alias("n_linked_mentions"),
-        )
-    )
+    /root/reference/scripts/pubmed_analysis.py:61-77).
+
+    Single pivot-style aggregation + single join: both args resolve in one
+    shuffle of the mention table and one shuffle of the triples table, and
+    the upstream mention pipeline is evaluated exactly once."""
     key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
-    a1 = per_arg.where("arg_pos = 1").select(
+
+    def first_ent(pos: int):
+        return F.min(
+            F.when(
+                F.col("arg_pos") == pos,
+                F.struct("begin_word", "entity_id", "ner_type"),
+            )
+        )
+
+    def n_mentions(pos: int):
+        return F.sum(F.when(F.col("arg_pos") == pos, 1).otherwise(0))
+
+    per_ext = linked_mentions.groupBy(*key).agg(
+        first_ent(1).alias("_e1"),
+        n_mentions(1).alias("arg1_n_mentions"),
+        first_ent(2).alias("_e2"),
+        n_mentions(2).alias("arg2_n_mentions"),
+    ).select(
         *key,
-        F.col("ent.entity_id").alias("arg1_entity_id"),
-        F.col("ent.ner_type").alias("arg1_ner_type"),
-        F.col("n_linked_mentions").alias("arg1_n_mentions"),
+        F.col("_e1.entity_id").alias("arg1_entity_id"),
+        F.col("_e1.ner_type").alias("arg1_ner_type"),
+        "arg1_n_mentions",
+        F.col("_e2.entity_id").alias("arg2_entity_id"),
+        F.col("_e2.ner_type").alias("arg2_ner_type"),
+        "arg2_n_mentions",
     )
-    a2 = per_arg.where("arg_pos = 2").select(
-        *key,
-        F.col("ent.entity_id").alias("arg2_entity_id"),
-        F.col("ent.ner_type").alias("arg2_ner_type"),
-        F.col("n_linked_mentions").alias("arg2_n_mentions"),
+    return triples.join(per_ext, key, "left")
+
+
+def dictionary_surfaces(alias: DataFrame) -> frozenset[str]:
+    """The deduplicated surface set handed to the fused stage (broadcast
+    regime by contract — for huge dictionaries use the salted join path)."""
+    return frozenset(
+        r.surface_form for r in alias.select("surface_form").distinct().collect()
     )
-    return triples.join(a1, key, "left").join(a2, key, "left")
+
+
+def link_triples_inline(triples_with_surfaces: DataFrame, alias: DataFrame) -> DataFrame:
+    """Zero-shuffle linking for broadcast-sized dictionaries: the deduped
+    dictionary becomes a Spark MAP LITERAL and each argument's pre-computed
+    first-matched surface (from extract.fused) resolves through it — the
+    whole link is codegen'd projection work, the moral equivalent of a
+    broadcast-hash-join without even the join.
+
+    For dictionaries beyond literal/broadcast size, use
+    ``link_mentions_salted`` + ``link_triples`` instead."""
+    best = _best_alias_per_surface(alias).collect()
+    entries: list = []
+    for r in best:
+        entries.append(F.lit(r.surface_form))
+        entries.append(
+            F.struct(
+                F.lit(r.entity_id).alias("entity_id"),
+                F.lit(r.ner_type).alias("ner_type"),
+            )
+        )
+    dict_map = F.create_map(*entries)
+
+    e1 = F.try_element_at(dict_map, F.col("arg1_surface"))
+    e2 = F.try_element_at(dict_map, F.col("arg2_surface"))
+    keep = [
+        c
+        for c in triples_with_surfaces.columns
+        if c not in ("arg1_surface", "arg2_surface")
+    ]
+    return triples_with_surfaces.select(
+        *keep,
+        e1["entity_id"].alias("arg1_entity_id"),
+        e1["ner_type"].alias("arg1_ner_type"),
+        e2["entity_id"].alias("arg2_entity_id"),
+        e2["ner_type"].alias("arg2_ner_type"),
+    )
 
 
 def per_org_pairs(linked_triples: DataFrame) -> DataFrame:

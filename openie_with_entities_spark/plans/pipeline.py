@@ -30,6 +30,13 @@ class PipelineResult:
     triples: DataFrame
 
 
+@dataclass
+class KGResult:
+    triples: DataFrame
+    mentions: DataFrame
+    linked_triples: DataFrame
+
+
 def extract_triples(
     transcripts: DataFrame,
     partitions: int | None = None,
@@ -43,3 +50,46 @@ def extract_triples(
     if top_k is not None:
         triples = topk_triples(triples, top_k)
     return PipelineResult(sentences, splits, raw, triples)
+
+
+def build_kg(
+    transcripts: DataFrame,
+    alias: DataFrame,
+    partitions: int | None = None,
+) -> KGResult:
+    """Extraction + entity linking with an explicit materialization barrier.
+
+    ``triples`` feeds BOTH sides of the link join (mention detection and the
+    annotate join); without a barrier Catalyst recomputes the whole
+    extraction DAG once per consumer — measured 2× the work. In production
+    the barrier is the per-stage checkpoint table (plans.checkpoint); here a
+    persist() gives the same cut."""
+    from ..extract.mentions import detect_mentions
+    from ..linking import link_mentions, link_triples
+
+    res = extract_triples(transcripts, partitions=partitions)
+    triples = res.triples.persist()
+    mentions = detect_mentions(triples)
+    linked = link_triples(triples, link_mentions(mentions, alias))
+    return KGResult(triples=triples, mentions=mentions, linked_triples=linked)
+
+
+def build_kg_fused(
+    transcripts: DataFrame,
+    alias: DataFrame,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Production/bench path: ONE mapInPandas pass over raw turns
+    (segment + conj + OIE + dedup + mention summary fused) and map-literal
+    linking — a single shuffle (the conv_id repartition) in the whole job.
+    Result is identical to build_kg's linked_triples minus the
+    n_mentions-null nuance (fused reports 0 where the modular left join
+    reports null for mention-less args).
+    """
+    from ..extract.fused import fused_extract_stage
+    from ..linking import dictionary_surfaces, link_triples_inline
+
+    triples = fused_extract_stage(
+        transcripts, dictionary_surfaces(alias), partitions=partitions
+    )
+    return link_triples_inline(triples, alias)

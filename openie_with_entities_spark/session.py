@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Local-mode shuffle goes through the local filesystem; with 32
+    # concurrent writer threads, disk contention inverts scaling. tmpfs
+    # removes the disk from the path (a cluster would use per-node SSDs +
+    # the external shuffle service instead).
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

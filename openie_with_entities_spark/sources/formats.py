@@ -1,0 +1,162 @@
+"""Readers/writers for the reference's interchange formats (SURVEY §2.1).
+
+  * gold TSV (CaRB)  ≙ GoldReader, /root/reference/carb/oie_readers/goldReader.py:14-38
+  * .allennlp        ≙ process_allennlp, /root/reference/data_preprocessing.py:416-449
+                       and the sink at /root/reference/model.py:648-654
+  * .oie             ≙ write_to_file + ext_to_string,
+                       /root/reference/model.py:691-702, data.py:571-584
+  * conj-split file  ≙ load_conj_mapping, /root/reference/data_preprocessing.py:403-414
+  * labels render    ≙ label names of /root/reference/run.py:246-291
+
+Everything is native column expressions: regexp_extract for tagged formats,
+format_string for rendering, explode/window for block structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+OIE_LABEL_NAMES = ["NONE", "ARG1", "REL", "ARG2", "LOC", "TYPE"]
+
+
+def read_gold_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """CaRB gold TSV: sentence \\t rel \\t arg1 [\\t argN…]; `C:`-prefixed
+    context args are dropped; confidence fixed at 1."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        raw.where(F.length("value") > 0)
+        .select(
+            F.element_at(parts, 1).alias("sentence"),
+            F.element_at(parts, 2).alias("rel"),
+            F.element_at(parts, 3).alias("arg1"),
+            F.element_at(parts, 4).alias("arg2"),
+            F.filter(
+                F.slice(parts, 5, 1000),
+                lambda a: a.isNotNull() & ~a.startswith("C: "),
+            ).alias("extra_args"),
+            F.lit(1.0).alias("confidence"),
+        )
+        .withColumn("arg2", F.coalesce("arg2", F.lit("")))
+    )
+
+
+def read_allennlp(spark: SparkSession, path: str) -> DataFrame:
+    """`sent \\t <arg1> … </arg1> <rel> … </rel> <arg2> … </arg2> \\t conf`"""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    tagged = F.element_at(parts, 2)
+    return raw.where(F.length("value") > 0).select(
+        F.element_at(parts, 1).alias("sentence"),
+        F.trim(F.regexp_extract(tagged, r"<arg1>(.*)</arg1>", 1)).alias("arg1"),
+        F.trim(F.regexp_extract(tagged, r"<rel>(.*)</rel>", 1)).alias("rel"),
+        F.trim(F.regexp_extract(tagged, r"<arg2>(.*)</arg2>", 1)).alias("arg2"),
+        F.element_at(parts, 3).cast("double").alias("confidence"),
+    )
+
+
+def to_allennlp_lines(triples: DataFrame, sentence_col: str = "sentence") -> DataFrame:
+    """One tagged line per extraction (the reference's .allennlp sink)."""
+    return triples.select(
+        F.format_string(
+            "%s\t<arg1> %s </arg1> <rel> %s </rel> <arg2> %s </arg2>\t%s",
+            F.col(sentence_col),
+            F.col("arg1"),
+            F.col("rel"),
+            F.col("arg2"),
+            F.col("confidence").cast("string"),
+        ).alias("value")
+    )
+
+
+def to_oie_blocks(triples: DataFrame, key_cols: list[str], sentence_col: str) -> DataFrame:
+    """Per-sentence text blocks: sentence line + `%.2f: (arg1; rel; arg2)`
+    lines in insertion order — the golden-file format."""
+    line = F.format_string(
+        "%.2f: (%s; %s; %s)",
+        F.col("confidence"),
+        F.col("arg1"),
+        F.col("rel"),
+        F.col("arg2"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("split_idx"), F.col("ext_idx"), line.alias("line"))
+        )
+    )
+    return (
+        triples.groupBy(*key_cols, sentence_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.col(sentence_col),
+                F.array_join(
+                    F.transform(ordered, lambda s: s["line"]), "\n"
+                ),
+            ).alias("block")
+        )
+    )
+
+
+def to_conj_blocks(splits: DataFrame, sentence_col: str = "text") -> DataFrame:
+    """Conj-split file blocks: original sentence followed by its splits
+    (identity rows collapse to a single line)."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct("split_idx", "split_text"))
+    )
+    return splits.groupBy("conv_id", "turn_idx", "sent_idx").agg(
+        F.concat_ws(
+            "\n",
+            F.array_join(
+                F.transform(ordered, lambda s: s["split_text"]), "\n"
+            ),
+        ).alias("block")
+    )
+
+
+def read_conj_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Parse `orig\\nsplit1\\nsplit2\\n\\n` blocks into (orig, split_idx,
+    split) rows: a window-sum over blank-line markers assigns block ids —
+    the distributed version of the reference's stateful file walk."""
+    raw = spark.read.text(path).withColumn(
+        "line_id", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("line_id")
+    blocks = raw.withColumn(
+        "block_id",
+        F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w),
+    ).where(F.col("value") != "")
+    w_blk = Window.partitionBy("block_id").orderBy("line_id")
+    numbered = blocks.withColumn("pos", F.row_number().over(w_blk))
+    orig = numbered.where("pos = 1").select(
+        "block_id", F.col("value").alias("orig_sentence")
+    )
+    rest = numbered.where("pos > 1").select(
+        "block_id",
+        (F.col("pos") - 2).alias("split_idx"),
+        F.col("value").alias("split_sentence"),
+    )
+    return orig.join(rest, "block_id", "left").select(
+        "orig_sentence",
+        F.coalesce("split_idx", F.lit(0)).alias("split_idx"),
+        F.coalesce("split_sentence", F.col("orig_sentence")).alias(
+            "split_sentence"
+        ),
+    )
+
+
+def render_labels(labels_df: DataFrame) -> DataFrame:
+    """(sentence, depth, labels:array<int>) → space-joined label names
+    (the .labels sink, /root/reference/run.py:246-291)."""
+    name_map = F.array(*[F.lit(n) for n in OIE_LABEL_NAMES])
+    return labels_df.select(
+        "sentence",
+        "depth",
+        F.array_join(
+            F.transform(
+                F.col("labels"), lambda x: F.element_at(name_map, x + 1)
+            ),
+            " ",
+        ).alias("label_str"),
+    )

@@ -1,0 +1,76 @@
+"""Structured Streaming ingest: continuously extract triples from newly
+arriving transcript partitions.
+
+The reference is batch-only; this is the engine's forward path for a live
+transcript feed. Late/duplicate turns are handled with a watermark +
+``dropDuplicatesWithinWatermark`` on (conv_id, turn_idx); the fused
+extraction stage applies unchanged to the streaming DataFrame (mapInPandas
+is streaming-compatible), and ``foreachBatch`` gives exactly-once appends to
+the triples table plus per-batch lineage rows — the streaming twin of
+plans.checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_triples(
+    stream: DataFrame,
+    surfaces: frozenset[str],
+    watermark: str = "10 minutes",
+    partitions: int | None = None,
+) -> DataFrame:
+    from ..extract.fused import fused_extract_stage
+
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    return fused_extract_stage(deduped, surfaces, partitions=partitions)
+
+
+def run_stream_to_table(
+    triples_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    once: bool = True,
+):
+    """foreachBatch writer: append triples + a lineage row per micro-batch.
+    ``once=True`` drains everything available and stops (used by tests and
+    backfills); continuous mode just drops the trigger."""
+    spark = triples_stream.sparkSession
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(os.path.join(out_path, "data"))
+        spark.createDataFrame(
+            [(int(epoch_id), df.count())], "epoch long, rows_out long"
+        ).write.mode("append").parquet(os.path.join(out_path, "lineage"))
+
+    writer = (
+        triples_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
