@@ -120,7 +120,8 @@ def coordinations_df(splits_source: DataFrame) -> DataFrame:
                     out["spans"].append(
                         [{"s": s, "e": e} for (s, e) in coord.spans]
                     )
-            yield pd.DataFrame(out)
+            if out["sent_key"]:  # empty float64 cols can't cast to struct
+                yield pd.DataFrame(out)
 
     return splits_source.mapInPandas(
         run, schema="sent_key string, cc int, spans array<struct<s:int,e:int>>"

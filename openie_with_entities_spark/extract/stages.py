@@ -68,6 +68,8 @@ def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | Non
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism * 3
     out = df.repartition(partitions, F.col("conv_id"))
+    if out.isStreaming:  # sort unsupported on streams; batches are small
+        return out
     return out.sortWithinPartitions(F.size(F.split(F.col(text_col), " ")))
 
 

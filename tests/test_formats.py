@@ -1,0 +1,203 @@
+"""Interchange format readers/writers + conjunction evaluator + streaming."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_with_entities_spark.evaluate_conj import (
+    coordinations_df,
+    evaluate_conjunctions,
+)
+from openie_with_entities_spark.sources.formats import (
+    read_allennlp,
+    read_conj_blocks,
+    read_gold_tsv,
+    render_labels,
+    to_allennlp_lines,
+    to_oie_blocks,
+)
+
+
+@pytest.fixture()
+def tmpdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_gold_tsv_roundtrip(spark, tmpdir):
+    path = os.path.join(tmpdir, "gold.tsv")
+    with open(path, "w") as f:
+        f.write("the cat sat .\tsat\tthe cat\t\n")
+        f.write("a b c\tb\ta\tc\tC: ctx\textra\n")
+    df = read_gold_tsv(spark, path)
+    rows = {r.sentence: r for r in df.collect()}
+    assert rows["the cat sat ."].rel == "sat"
+    assert rows["a b c"].extra_args == ["extra"]  # C:-arg dropped
+    assert rows["the cat sat ."].confidence == 1.0
+
+
+def test_allennlp_roundtrip(spark, tmpdir):
+    import pandas as pd
+
+    triples = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "sentence": "Ada founded Acme .",
+                    "arg1": "Ada",
+                    "rel": "founded",
+                    "arg2": "Acme",
+                    "confidence": 0.97,
+                }
+            ]
+        )
+    )
+    path = os.path.join(tmpdir, "out.allennlp")
+    to_allennlp_lines(triples).write.mode("overwrite").text(path)
+    back = read_allennlp(spark, path).collect()[0]
+    assert (back.arg1, back.rel, back.arg2) == ("Ada", "founded", "Acme")
+    assert abs(back.confidence - 0.97) < 1e-9
+
+
+def test_oie_blocks(spark):
+    import pandas as pd
+
+    triples = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "conv_id": "c", "turn_idx": 0, "sent_idx": 0,
+                    "split_idx": 0, "ext_idx": 0, "sentence": "s one",
+                    "arg1": "a", "rel": "r", "arg2": "b", "confidence": 0.9,
+                },
+                {
+                    "conv_id": "c", "turn_idx": 0, "sent_idx": 0,
+                    "split_idx": 0, "ext_idx": 1, "sentence": "s one",
+                    "arg1": "x", "rel": "y", "arg2": "z", "confidence": 0.8,
+                },
+            ]
+        )
+    )
+    blocks = to_oie_blocks(
+        triples, ["conv_id", "turn_idx", "sent_idx"], "sentence"
+    ).collect()
+    assert blocks[0].block == "s one\n0.90: (a; r; b)\n0.80: (x; y; z)"
+
+
+def test_conj_blocks_reader(spark, tmpdir):
+    path = os.path.join(tmpdir, "conj.txt")
+    with open(path, "w") as f:
+        f.write("A and B ran .\nA ran .\nB ran .\n\nplain sentence .\n\n")
+    df = read_conj_blocks(spark, path)
+    rows = sorted(
+        (r.orig_sentence, r.split_idx, r.split_sentence) for r in df.collect()
+    )
+    assert ("A and B ran .", 0, "A ran .") in rows
+    assert ("A and B ran .", 1, "B ran .") in rows
+    assert ("plain sentence .", 0, "plain sentence .") in rows
+
+
+def test_render_labels(spark):
+    df = spark.createDataFrame(
+        [("s", 0, [1, 1, 2, 3, 0])], "sentence string, depth int, labels array<int>"
+    )
+    assert (
+        render_labels(df).collect()[0].label_str == "ARG1 ARG1 REL ARG2 NONE"
+    )
+
+
+def test_conjunction_evaluation(spark):
+    pred = spark.createDataFrame(
+        [
+            ("s1", 2, [{"s": 0, "e": 1}, {"s": 3, "e": 4}]),
+            ("s2", 1, [{"s": 0, "e": 0}, {"s": 2, "e": 3}]),
+        ],
+        "sent_key string, cc int, spans array<struct<s:int,e:int>>",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("s1", 2, [{"s": 0, "e": 1}, {"s": 3, "e": 4}]),  # exact match
+            ("s2", 1, [{"s": 0, "e": 0}, {"s": 2, "e": 4}]),  # whole mismatch
+            ("s3", 5, [{"s": 4, "e": 4}, {"s": 6, "e": 6}]),  # missing in pred
+        ],
+        "sent_key string, cc int, spans array<struct<s:int,e:int>>",
+    )
+    sc = evaluate_conjunctions(pred, gold)
+    assert sc.n_pred == 2 and sc.n_gold == 3
+    assert sc.exact == (0.5, round(1 / 3, 4), 0.4)
+
+
+def test_coordinations_df(spark):
+    src = spark.createDataFrame(
+        [("k1", "Ada and Bob ran ."), ("k2", "no coordination here .")],
+        "sent_key string, text string",
+    )
+    rows = coordinations_df(src).collect()
+    assert len(rows) == 1 and rows[0].sent_key == "k1"
+
+
+def test_streaming_ingest(spark, tmpdir):
+    from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+    from openie_with_entities_spark.linking import dictionary_surfaces
+    from openie_with_entities_spark.streaming.ingest import (
+        run_stream_to_table,
+        stream_transcripts,
+        streaming_triples,
+    )
+
+    inp = os.path.join(tmpdir, "in")
+    out = os.path.join(tmpdir, "out")
+    ck = os.path.join(tmpdir, "ck")
+    generate_transcripts(spark, 10).write.mode("overwrite").parquet(inp)
+
+    stream = stream_transcripts(spark, inp, max_files_per_trigger=2)
+    triples = streaming_triples(stream, dictionary_surfaces(alias_dict(spark)))
+    run_stream_to_table(triples, out, ck, once=True)
+
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() > 0
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.agg(F.sum("rows_out")).collect()[0][0] == got.count()
+
+    # resume with no new data: no duplicate rows appended
+    run_stream_to_table(
+        streaming_triples(
+            stream_transcripts(spark, inp, max_files_per_trigger=2),
+            dictionary_surfaces(alias_dict(spark)),
+        ),
+        out,
+        ck,
+        once=True,
+    )
+    assert spark.read.parquet(os.path.join(out, "data")).count() == got.count()
+
+
+def test_snap_objects(spark):
+    import pandas as pd
+
+    from openie_with_entities_spark.corpus import alias_dict
+    from openie_with_entities_spark.linking import snap_objects
+
+    triples = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "conv_id": "c", "turn_idx": 0, "sent_idx": 0,
+                    "split_idx": 0, "ext_idx": 0,
+                    "arg1": "Bob", "rel": "joined",
+                    "arg2": "the board of Acme Corp", "confidence": 0.9,
+                },
+                {
+                    "conv_id": "c", "turn_idx": 0, "sent_idx": 1,
+                    "split_idx": 0, "ext_idx": 0,
+                    "arg1": "Bob", "rel": "slept",
+                    "arg2": "all day", "confidence": 0.9,
+                },
+            ]
+        )
+    )
+    out = {r.sent_idx: r for r in snap_objects(triples, alias_dict(spark)).collect()}
+    assert out[0].arg2_snapped == "Acme Corp"
+    assert out[0].rel_snapped == "joined the board of"
+    assert out[1].arg2_snapped == "all day"
+    assert out[1].rel_snapped == "slept"
