@@ -15,7 +15,7 @@ Scale notes per operator are in the docstrings; the unifying design is:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = [
@@ -153,15 +153,32 @@ def minhash_lsh_candidates(
     k trade recall vs bucket size exactly as in the published LSH analyses.
     """
     sh = char_shingles(docs, k)
-    banded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "shingle",
-    )
-    sigs = banded.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws("|", F.col("band"), F.col("shingle")))).alias(
-            "sig"
+    # all band minima in ONE aggregation pass (no band-explode: 4× less
+    # shuffle input than the naive explode-then-group formulation)
+    sigs = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.concat_ws("|", F.lit(b), F.col("shingle")))
+                ).alias(f"sig{b}")
+                for b in range(bands)
+            ]
         )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -182,25 +199,72 @@ def minhash_lsh_candidates(
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 15, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact shingle-set Jaccard over pairs that share ≥1 shingle.
+    """Exact shingle-set Jaccard via PREFIX FILTERING (ppjoin-style).
 
-    The shingle self-join bounds candidate generation to inverted-index
-    buckets; integer intersection/union counts keep the score exact (and
-    oracle-reproducible)."""
+    Two shingle sets with Jaccard ≥ t must share an element within each
+    set's ⌊(1−t)·|S|⌋+1 smallest shingles (by any global order — we use
+    md5, portable to the oracle). Candidate pairs therefore come from a
+    self-join of the PREFIXES only, which prunes the near-all-pairs blowup
+    that common shingles cause on repetitive text; intersections are then
+    counted exactly, so the result is IDENTICAL to the brute-force
+    formulation (the DuckDB oracle runs brute force — the driver's compare
+    proves the equivalence every round).
+
+    Prefix filtering only pays when (1−t) is small: at t=0.5 the prefix is
+    half of every set and the extra candidate→intersection join costs more
+    than it prunes (measured 5×), so low thresholds take the direct
+    inverted-index join."""
     sh = char_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    if threshold >= 0.7:
+        w = Window.partitionBy("doc_id").orderBy(F.md5("shingle"), "shingle")
+        prefix = (
+            sh.withColumn("_rk", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .where(
+                F.col("_rk")
+                <= F.floor((1 - threshold) * F.col("n_sh")).cast("int") + 1
+            )
+            .select("doc_id", "shingle")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        candidates = (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
+        inter = (
+            candidates.join(sh.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+            .join(
+                sh.alias("b"),
+                (F.col("b.doc_id") == F.col("doc_b"))
+                & (F.col("b.shingle") == F.col("a.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("n_sh", "n_a")
