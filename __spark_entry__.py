@@ -261,6 +261,53 @@ def _emb_cosine_topk(spark, sf_dir):
 # ---- rows-only (no SQL oracle) ----
 
 
+_LABELS_FIXTURE = [
+    ("Ada founded Acme .", 0, [1, 2, 3, 0]),
+    ("Ada chairman of Acme", 0, [1, 2, 0, 3]),
+    ("b c d e f", 1, [0, 1, 2, 3, 4]),
+]
+
+_TRIPLES_FIXTURE = [
+    ("c0", 0, 0, 0, 0, "Bob", "joined", "the board of Acme Corp", 0.9),
+    ("c0", 0, 1, 0, 0, "Bob", "visited", "sunny Paris", 0.8),
+    ("c0", 1, 0, 0, 0, "Eve", "slept", "all day", 0.7),
+    ("c0", 1, 0, 0, 1, "Eve", "praised", "Turing", 0.6),
+]
+_TRIPLES_DDL = (
+    "conv_id string, turn_idx int, sent_idx int, split_idx int, ext_idx int, "
+    "arg1 string, rel string, arg2 string, confidence double"
+)
+
+
+def _p14_render_labels(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import render_labels
+
+    df = spark.createDataFrame(
+        _LABELS_FIXTURE, "sentence string, depth int, labels array<int>"
+    )
+    return render_labels(df)
+
+
+def _s6_oie_format(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import to_oie_blocks
+
+    t = spark.createDataFrame(_TRIPLES_FIXTURE, _TRIPLES_DDL).withColumn(
+        "sentence", F.concat_ws("|", "conv_id", "turn_idx", "sent_idx")
+    )
+    return to_oie_blocks(t, ["conv_id", "turn_idx", "sent_idx"], "sentence")
+
+
+def _a8_snap_objects(spark, sf_dir):
+    from openie_with_entities_spark.corpus import alias_dict
+    from openie_with_entities_spark.linking import snap_objects
+
+    t = spark.createDataFrame(_TRIPLES_FIXTURE, _TRIPLES_DDL)
+    return snap_objects(t, alias_dict(spark)).select(
+        "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx",
+        "rel_snapped", "arg2_snapped",
+    )
+
+
 def _docs_simhash(spark, sf_dir):
     from openie_with_entities_spark.operators.docops import simhash64
 
@@ -314,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": _docs_token_counts,
         "docs_fingerprint": _docs_fingerprint,
         "emb_cosine_topk": _emb_cosine_topk,
+        "p14_render_labels": _p14_render_labels,
+        "s6_oie_format": _s6_oie_format,
+        "a8_snap_objects": _a8_snap_objects,
         "docs_simhash": _docs_simhash,
         "emb_ann_lsh": _emb_ann_lsh,
         "kg_triples": _kg_triples,
@@ -329,6 +379,33 @@ _STOPLIST_SQL = (
     "['the','a','an','of','to','and','in','is','was','it','for',"
     "'on','with','as','at','by','that','this','are','be']"
 )
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _labels_values() -> str:
+    return ", ".join(
+        f"({_sql_str(s)}, {d}, {list(l)})" for (s, d, l) in _LABELS_FIXTURE
+    )
+
+
+def _triples_values() -> str:
+    return ", ".join(
+        f"({_sql_str(c)}, {t}, {si}, {sp}, {e}, {_sql_str(a1)}, "
+        f"{_sql_str(r)}, {_sql_str(a2)}, {conf})"
+        for (c, t, si, sp, e, a1, r, a2, conf) in _TRIPLES_FIXTURE
+    )
+
+
+def _alias_values() -> str:
+    from openie_with_entities_spark.corpus import gazetteer_rows
+
+    return ", ".join(
+        f"({_sql_str(r['surface_form'])}, {_sql_str(r['canonical_name'])})"
+        for r in gazetteer_rows()
+    )
+
 
 _SHINGLES_CTE = """
 sh AS (
@@ -495,6 +572,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "p14_render_labels": f"""
+            SELECT sentence, depth,
+                   array_to_string(list_transform(labels,
+                       x -> (['NONE','ARG1','REL','ARG2','LOC','TYPE'])[x+1]),
+                       ' ') AS label_str
+            FROM (VALUES {_labels_values()}) AS t(sentence, depth, labels)
+        """,
+        "s6_oie_format": f"""
+            WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+                   arg1, rel, arg2, confidence) AS (VALUES {_triples_values()}),
+            s AS (SELECT *, conv_id || '|' || CAST(turn_idx AS VARCHAR)
+                         || '|' || CAST(sent_idx AS VARCHAR) AS sentence FROM t)
+            SELECT conv_id, turn_idx, sent_idx, sentence,
+                   sentence || chr(10) ||
+                   string_agg(printf('%.2f: (%s; %s; %s)',
+                                     confidence, arg1, rel, arg2),
+                              chr(10) ORDER BY split_idx, ext_idx) AS block
+            FROM s GROUP BY conv_id, turn_idx, sent_idx, sentence
+        """,
+        "a8_snap_objects": f"""
+            WITH alias(surface_form, canonical_name) AS (VALUES {_alias_values()}),
+            best_alias AS (
+                SELECT surface_form, max(canonical_name) AS canonical_name
+                FROM alias GROUP BY surface_form),
+            t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+              arg1, rel, arg2, confidence) AS (VALUES {_triples_values()}),
+            m AS (
+                SELECT t.*, a.surface_form AS sf, a.canonical_name AS cn
+                FROM t LEFT JOIN best_alias a
+                  ON ends_with(lower(regexp_replace(t.arg2, '[^\\w\\s]', '', 'g')),
+                               a.surface_form)
+                     AND a.surface_form <> ''),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx, sent_idx, split_idx, ext_idx
+                    ORDER BY length(sf) DESC NULLS LAST, sf DESC, cn DESC) AS rk
+                FROM m)
+            SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+                   CASE WHEN sf IS NOT NULL AND length(sf) > 0
+                             AND trim(substr(arg2, 1, length(arg2) - length(sf))) <> ''
+                        THEN rel || ' ' || trim(substr(arg2, 1, length(arg2) - length(sf)))
+                        ELSE rel END AS rel_snapped,
+                   CASE WHEN sf IS NOT NULL AND length(sf) > 0 THEN cn
+                        ELSE arg2 END AS arg2_snapped
+            FROM ranked WHERE rk = 1
         """,
         "emb_cosine_topk": """
             WITH q AS (

@@ -195,8 +195,8 @@ def snap_objects(triples: DataFrame, alias: DataFrame) -> DataFrame:
     when the object ends with a dictionary entity, move the prefix into the
     relation and snap the object to the entity's canonical name."""
     canon = F.broadcast(
-        alias.select("surface_form", "canonical_name").dropDuplicates(
-            ["surface_form"]
+        alias.groupBy("surface_form").agg(
+            F.max("canonical_name").alias("canonical_name")
         )
     )
     obj_norm = F.lower(F.regexp_replace(F.col("arg2"), r"[^\w\s]", ""))
