@@ -53,13 +53,22 @@ def text_stats(docs: DataFrame) -> DataFrame:
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
-    """Length/punctuation/stopword heuristics → keep/drop flag."""
-    stats = text_stats(docs)
+    """Length/punctuation/stopword heuristics → keep/drop flag.
+
+    One projection over one scan — all stats are per-row expressions, so a
+    join/second scan would only add cost (and did, before this was
+    flattened; see tests/test_plans.py::test_whole_stage_codegen)."""
     toks = tokenize(F.col("text"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    enriched = docs.select("doc_id", n_stop.alias("n_stop")).join(
-        stats, "doc_id"
+    n_punct = F.size(
+        F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)")
+    )
+    enriched = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
     )
     return enriched.select(
         "doc_id",

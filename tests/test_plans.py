@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the properties the 100 TB design depends on
+must be visible in `.explain` output, not just assumed."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+from openie_with_entities_spark.plans.pipeline import build_kg_fused
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fused_pipeline_single_shuffle(spark):
+    t = generate_transcripts(spark, 10)
+    linked = build_kg_fused(t, alias_dict(spark), partitions=8)
+    plan = plan_of(linked)
+    # corpus generator contributes its own repartition; beyond that the
+    # pipeline may add ONLY the explicit conv_id repartition — no
+    # ENSURE_REQUIREMENTS exchanges (those would mean hidden shuffles)
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) <= 2
+    # linking is a pure projection: no joins at all in the fused path
+    assert "Join" not in plan
+
+
+def test_parquet_column_pruning_and_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_extendedprice" not in m.group(1), plan  # pruned
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_dimension_joins_are_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["a7_filtered_join"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_link_bounds_partition_size(spark):
+    """Hot-surface skew: with salting, no single task sees more than
+    ~1/n_salt of a hot key's rows."""
+    from openie_with_entities_spark.linking import link_mentions_salted
+
+    import pandas as pd
+
+    n = 8000
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in range(n)],
+                "turn_idx": [0] * n,
+                "sent_idx": [0] * n,
+                "split_idx": [0] * n,
+                "ext_idx": [0] * n,
+                "arg_pos": [1] * n,
+                "mention": ["Acme Corp"] * n,  # one hot surface
+                "surface_norm": ["acme corp"] * n,
+                "begin_word": [0] * n,
+                "end_word": [1] * n,
+            }
+        )
+    )
+    linked = link_mentions_salted(mentions, alias_dict(spark), n_salt=8)
+    assert linked.count() == n
+    # the join must be a shuffle join keyed on (surface, salt) — never a
+    # plain surface-keyed shuffle that would send the hot key to one task
+    plan = plan_of(linked)
+    assert re.search(r"ShuffledHashJoin \[surface_norm#\d+, _salt", plan), plan
+    # the hot surface's rows really do carry >1 salt value (reducer split)
+    n_salts = (
+        mentions.select(
+            F.pmod(
+                F.xxhash64(
+                    "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"
+                ),
+                F.lit(8),
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+def test_quality_score_is_single_scan(spark):
+    from openie_with_entities_spark.operators.docops import quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(quality_score(docs))
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Join" not in plan
