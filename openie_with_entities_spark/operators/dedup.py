@@ -45,6 +45,18 @@ def topk_triples(triples: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def predicate_frequency(triples: DataFrame) -> DataFrame:
+    """Normalized-predicate frequency ranking
+    (/root/reference/scripts/pubmed_analysis.py:22-31): lowercase,
+    punctuation-stripped rel → count desc."""
+    norm = F.trim(F.lower(F.regexp_replace("rel", r"[^\w\s]", "")))
+    return (
+        triples.groupBy(norm.alias("predicate"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "predicate")
+    )
+
+
 def merge_extraction_sets(a: DataFrame, b: DataFrame, k: int = 5) -> DataFrame:
     """Union two extraction tables, dedup by extraction identity, re-rank —
     the reference's merge_output_files flow

@@ -146,6 +146,49 @@ def read_conj_blocks(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_labels_file(spark: SparkSession, path: str) -> DataFrame:
+    """Training-label file (S2, /root/reference/data.py:256-310):
+    blank-line-delimited blocks of `sentence\\nlabelrow1\\nlabelrow2…` →
+    (sentence, depth, labels:array<string>). Same window-sum block
+    assignment as read_conj_blocks."""
+    raw = spark.read.text(path).withColumn(
+        "line_id", F.monotonically_increasing_id()
+    )
+    w = Window.orderBy("line_id")
+    blocks = raw.withColumn(
+        "block_id",
+        F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w),
+    ).where(F.col("value") != "")
+    w_blk = Window.partitionBy("block_id").orderBy("line_id")
+    numbered = blocks.withColumn("pos", F.row_number().over(w_blk))
+    sent = numbered.where("pos = 1").select(
+        "block_id", F.col("value").alias("sentence")
+    )
+    labels = numbered.where("pos > 1").select(
+        "block_id",
+        (F.col("pos") - 2).alias("depth"),
+        F.split(F.col("value"), " ").alias("labels"),
+    )
+    return sent.join(labels, "block_id", "inner").select(
+        "sentence", "depth", "labels"
+    )
+
+
+def project_labels_to_original(
+    split_labels: list[int], split_indices: list[int], orig_len: int
+) -> list[int]:
+    """S8 label re-projection (/root/reference/run.py:272-281): scatter a
+    split sentence's per-token labels back onto the original sentence's
+    token positions (split_indices[i] = original index of split token i);
+    unmapped positions stay NONE. Pure function used inside the labels-sink
+    UDF."""
+    out = [0] * orig_len
+    for i, orig_idx in enumerate(split_indices):
+        if i < len(split_labels) and orig_idx < orig_len:
+            out[orig_idx] = split_labels[i]
+    return out
+
+
 def render_labels(labels_df: DataFrame) -> DataFrame:
     """(sentence, depth, labels:array<int>) → space-joined label names
     (the .labels sink, /root/reference/run.py:246-291)."""

@@ -1,0 +1,116 @@
+"""Operator-level tests: merge, predicate frequency, label projection,
+labels-file scan, docops sanity."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from openie_with_entities_spark.operators.dedup import (
+    merge_extraction_sets,
+    predicate_frequency,
+)
+from openie_with_entities_spark.sources.formats import (
+    project_labels_to_original,
+    read_labels_file,
+)
+
+TRIPLE_COLS = [
+    "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx",
+    "arg1", "rel", "arg2", "confidence",
+]
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame([dict(zip(TRIPLE_COLS, r)) for r in rows])
+    )
+
+
+def test_merge_extraction_sets(spark):
+    a = _triples(spark, [("c", 0, 0, 0, 0, "x", "r", "y", 0.9)])
+    b = _triples(
+        spark,
+        [
+            ("c", 0, 0, 0, 0, "x", "r", "y", 0.8),  # dup of a (first wins)
+            ("c", 0, 0, 0, 1, "p", "q", "s", 0.7),  # new
+        ],
+    )
+    out = merge_extraction_sets(a, b, k=5).collect()
+    assert len(out) == 2
+    kept = {(r.arg1, r.rel, r.arg2): r.confidence for r in out}
+    assert kept[("x", "r", "y")] == 0.9  # insertion-order keep-first
+    assert kept[("p", "q", "s")] == 0.7
+
+
+def test_predicate_frequency(spark):
+    t = _triples(
+        spark,
+        [
+            ("c", 0, 0, 0, 0, "a", "Founded!", "b", 0.9),
+            ("c", 0, 1, 0, 0, "a", "founded", "b", 0.9),
+            ("c", 0, 2, 0, 0, "a", "sued", "b", 0.9),
+        ],
+    )
+    rows = predicate_frequency(t).collect()
+    assert (rows[0].predicate, rows[0].cnt) == ("founded", 2)
+    assert (rows[1].predicate, rows[1].cnt) == ("sued", 1)
+
+
+def test_project_labels_to_original():
+    # split sentence tokens map to original indices [0, 3, 4]
+    assert project_labels_to_original([1, 2, 3], [0, 3, 4], 6) == [
+        1, 0, 0, 2, 3, 0,
+    ]
+    # out-of-range indices ignored, short labels padded
+    assert project_labels_to_original([1], [0, 9], 3) == [1, 0, 0]
+
+
+def test_read_labels_file(spark, tmp_path):
+    p = str(tmp_path / "train.labels")
+    with open(p, "w") as f:
+        f.write("Ada founded Acme\nARG1 REL ARG2\nNONE REL ARG2\n\n")
+        f.write("b c\nARG1 REL\n\n")
+    df = read_labels_file(spark, p)
+    rows = {(r.sentence, r.depth): r.labels for r in df.collect()}
+    assert rows[("Ada founded Acme", 0)] == ["ARG1", "REL", "ARG2"]
+    assert rows[("Ada founded Acme", 1)] == ["NONE", "REL", "ARG2"]
+    assert rows[("b c", 0)] == ["ARG1", "REL"]
+
+
+def test_simhash_similar_docs_share_prefix(spark):
+    from openie_with_entities_spark.operators.docops import simhash64
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash_prefix for r in simhash64(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sh[1], sh[2]) <= hamming(sh[1], sh[3])
+
+
+def test_lsh_ann_overlaps_bruteforce(spark):
+    from openie_with_entities_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in lsh_bucketed_topk(emb, q, k=5, n_planes=2).collect()
+    }
+    # self-match always survives LSH (same bucket by construction)
+    for qid in (0, 1, 2):
+        assert (qid, qid) in approx
+    assert len(exact & approx) > 0
