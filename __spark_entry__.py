@@ -308,6 +308,21 @@ def _a8_snap_objects(spark, sf_dir):
     )
 
 
+_EDGES_FIXTURE = [
+    ("a", "b"), ("b", "c"), ("c", "d"),      # chain → comp a
+    ("x", "y"), ("y", "x"),                  # cycle → comp x
+    ("m", "n"), ("p", "n"),                  # shared sink → comp m
+    ("solo1", "solo2"),
+]
+
+
+def _cc_components(spark, sf_dir):
+    from openie_with_entities_spark.canonicalize import connected_components
+
+    edges = spark.createDataFrame(_EDGES_FIXTURE, "src string, dst string")
+    return connected_components(edges)
+
+
 def _docs_simhash(spark, sf_dir):
     from openie_with_entities_spark.operators.docops import simhash64
 
@@ -364,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_render_labels": _p14_render_labels,
         "s6_oie_format": _s6_oie_format,
         "a8_snap_objects": _a8_snap_objects,
+        "cc_components": _cc_components,
         "docs_simhash": _docs_simhash,
         "emb_ann_lsh": _emb_ann_lsh,
         "kg_triples": _kg_triples,
@@ -396,6 +412,10 @@ def _triples_values() -> str:
         f"{_sql_str(r)}, {_sql_str(a2)}, {conf})"
         for (c, t, si, sp, e, a1, r, a2, conf) in _TRIPLES_FIXTURE
     )
+
+
+def _edges_values() -> str:
+    return ", ".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in _EDGES_FIXTURE)
 
 
 def _alias_values() -> str:
@@ -618,6 +638,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sf IS NOT NULL AND length(sf) > 0 THEN cn
                         ELSE arg2 END AS arg2_snapped
             FROM ranked WHERE rk = 1
+        """,
+        "cc_components": f"""
+            WITH RECURSIVE e(src, dst) AS (VALUES {_edges_values()}),
+            sym AS (SELECT src, dst FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+            nodes AS (SELECT DISTINCT src AS node FROM sym)
+            SELECT n.node,
+                   least(n.node, min(r.dst)) AS component
+            FROM nodes n LEFT JOIN reach r ON r.src = n.node
+            GROUP BY n.node
         """,
         "emb_cosine_topk": """
             WITH q AS (
