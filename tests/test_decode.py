@@ -84,6 +84,21 @@ class TestSplit:
         clean, conj_words = split_sentence("Ada Lovelace visited Paris .")
         assert clean == [] and conj_words == []
 
+    def test_nested_coordinations_two_depths(self):
+        # "A and B or C ran ." with the outer coordination at depth 0
+        # (spans A | B-or-C) and the inner at depth 1 (B | C) — exercises
+        # the containment tree + BFS levels (/root/reference/data.py:696-783)
+        words = "A and B or C ran .".split() + SENTINELS
+        matrix = [
+            [2, 3, 1, 1, 1, 0, 0, 0, 0, 0],  # outer: (0,0),(2,4) cc=1
+            [0, 0, 2, 3, 1, 0, 0, 0, 0, 0],  # inner: (2,2),(4,4) cc=3
+        ]
+        coords = decode_coordinations(matrix)
+        texts, conj_words, _ = split_by_coordinations(coords, words)
+        clean = [t.split("[unused1]")[0].strip() for t in texts]
+        assert sorted(clean) == ["A ran .", "B ran .", "C ran ."]
+        assert conj_words == ["A", "B or C", "B", "C"]
+
     def test_two_independent_coordinations(self):
         clean, _ = split_sentence(
             "Ada Lovelace and Alan Turing visited Paris and Berlin ."

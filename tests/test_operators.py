@@ -114,3 +114,14 @@ def test_lsh_ann_overlaps_bruteforce(spark):
     for qid in (0, 1, 2):
         assert (qid, qid) in approx
     assert len(exact & approx) > 0
+
+
+def test_neural_backend_gates_cleanly():
+    import pytest
+
+    from openie_with_entities_spark.extract import neural
+
+    if neural.HAS_TORCH:
+        pytest.skip("torch present; gate not applicable")
+    with pytest.raises(NotImplementedError):
+        neural.get_model(neural.NeuralConfig("missing.ckpt"))
