@@ -67,6 +67,37 @@ def run_production(
     entity_nodes, _ = canonicalize(triples, linked_mentions)
     entity_path = os.path.join(out_dir, "entity_nodes")
     entity_nodes.write.mode("overwrite").parquet(entity_path)
+    entity_nodes = spark.read.parquet(entity_path)
+
+    # rewrite triple args to canonical cluster ids: KB entity id → its
+    # cluster's canonical id via a broadcast map (dictionary-bounded)
+    kb_to_canon = {
+        r.entity_id: r.canonical_id
+        for r in entity_nodes.where(F.col("is_kb_entity"))
+        .select(F.expr("substring(member, 3)").alias("entity_id"), "canonical_id")
+        .collect()
+    }
+    if kb_to_canon:
+        # dictionary-bounded → map literal (same regime as the link stage);
+        # also keeps the returned plan independent of the entity_nodes
+        # files, which the next resume run overwrites
+        entries: list = []
+        for k, v in sorted(kb_to_canon.items()):
+            entries += [F.lit(k), F.lit(v)]
+        cmap = F.create_map(*entries)
+        triples = triples.withColumn(
+            "arg1_entity_id",
+            F.coalesce(
+                F.try_element_at(cmap, F.col("arg1_entity_id")),
+                F.col("arg1_entity_id"),
+            ),
+        ).withColumn(
+            "arg2_entity_id",
+            F.coalesce(
+                F.try_element_at(cmap, F.col("arg2_entity_id")),
+                F.col("arg2_entity_id"),
+            ),
+        )
 
     counters = violation_counters(triples).withColumn(
         "stage", F.lit("link")

@@ -29,6 +29,20 @@ def test_production_run_and_resume(spark, tmp_path):
     linked = r1.triples.where(F.col("arg1_entity_id").isNotNull()).count()
     assert linked > 0
 
+    # canonical rewrite: every non-null triple entity id is a canonical
+    # cluster id from entity_nodes
+    canon_ids = {
+        r.canonical_id for r in r1.entity_nodes.select("canonical_id").collect()
+    }
+    used = {
+        r.arg1_entity_id
+        for r in r1.triples.where(F.col("arg1_entity_id").isNotNull())
+        .select("arg1_entity_id")
+        .distinct()
+        .collect()
+    }
+    assert used and used <= canon_ids
+
 
 def test_cli_smoke(tmp_path):
     import subprocess
