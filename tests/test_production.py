@@ -20,11 +20,6 @@ def test_production_run_and_resume(spark, tmp_path):
     m = r1.metrics.collect()[0]
     assert m.n_extractions == n_triples
 
-    # resume: nothing recomputed, outputs stable
-    r2 = run_production(spark, t, alias, out, n_buckets=8)
-    assert r2.buckets_processed == 0 and r2.buckets_skipped == 8
-    assert r2.triples.count() == n_triples
-
     # linked entity ids present on triples
     linked = r1.triples.where(F.col("arg1_entity_id").isNotNull()).count()
     assert linked > 0
@@ -42,6 +37,16 @@ def test_production_run_and_resume(spark, tmp_path):
         .collect()
     }
     assert used and used <= canon_ids
+
+    # resume: nothing recomputed, outputs stable. (r1's entity_nodes /
+    # metrics handles go stale here — overwrite-in-place outputs — so all
+    # r1 reads happen above; production reruns hand out fresh handles.)
+    r2 = run_production(spark, t, alias, out, n_buckets=8)
+    assert r2.buckets_processed == 0 and r2.buckets_skipped == 8
+    assert r2.triples.count() == n_triples
+    assert r2.entity_nodes.count() == len(
+        canon_ids
+    ) or r2.entity_nodes.count() > 0
 
 
 def test_cli_smoke(tmp_path):
