@@ -59,10 +59,21 @@ def oie_label_matrix(tokens: list[str]) -> tuple[list[list[int]], list[float]]:
     sentence. Depths = one per detected verb (≤5); a copular depth via the
     [unused2] rel-case when a role noun but no verb is present."""
     n = len(tokens)
-    core_len = sum(1 for t in tokens if not is_sentinel(t))
-    verb_idx = [
-        i for i, t in enumerate(tokens) if not is_sentinel(t) and is_verb(t)
-    ]
+    # classify every token ONCE (this function runs per depth × per split
+    # inside the hot UDF; repeated string checks dominated its profile)
+    skip = [False] * n
+    verb_idx: list[int] = []
+    core_len = 0
+    for i, t in enumerate(tokens):
+        if is_sentinel(t):
+            skip[i] = True
+            continue
+        core_len += 1
+        if t in PUNCT:
+            skip[i] = True
+        elif is_verb(t):
+            verb_idx.append(i)
+
     rows: list[list[int]] = []
     confs: list[float] = []
 
@@ -71,21 +82,16 @@ def oie_label_matrix(tokens: list[str]) -> tuple[list[list[int]], list[float]]:
 
     for depth, v in enumerate(verb_idx[:MAX_OIE_DEPTH]):
         row = [0] * n
-        for i, t in enumerate(tokens):
-            if is_sentinel(t) or t in PUNCT:
+        for i in range(n):
+            if skip[i]:
                 continue
-            if i < v:
-                row[i] = 1
-            elif i == v:
-                row[i] = 2
-            else:
-                row[i] = 3
+            row[i] = 1 if i < v else (2 if i == v else 3)
         # trailing prepositional adjunct → LOC/TIME (folded back into arg2
         # by the decoder, mirroring the reference's default arg2+loc_time)
         for i in range(v + 1, n):
             if tokens[i] in PREPOSITIONS:
                 for j in range(i, n):
-                    if not is_sentinel(tokens[j]) and tokens[j] not in PUNCT:
+                    if not skip[j]:
                         row[j] = 4
                 break
         rows.append(row)
