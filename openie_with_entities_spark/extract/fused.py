@@ -75,11 +75,17 @@ def fused_extract_stage(
     transcripts: DataFrame,
     surfaces: frozenset[str],
     partitions: int | None = None,
+    counters=None,
 ) -> DataFrame:
-    """turns → deduped triples with per-arg link summaries."""
+    """turns → deduped triples with per-arg link summaries.
+
+    ``counters``: optional plans.metrics.StageCounters (FUSED_COUNTERS set)
+    incremented per Arrow batch — one accumulator update per batch, not per
+    row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n_sent = n_long = n_splits = n_ext = n_dedup = 0
             out: dict[str, list] = {k: [] for k in (
                 "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx",
                 "arg1", "rel", "arg2", "confidence",
@@ -90,13 +96,16 @@ def fused_extract_stage(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
                 for sent_idx, raw in enumerate(segment_text(turn_text)):
+                    n_sent += 1
                     text = normalize_quotes(raw)
                     tokens = text.split() + SENTINELS
                     if len(tokens) > MAX_WORDS_WITH_SENTINELS:
+                        n_long += 1
                         continue
                     coords = decode_coordinations(conj_label_matrix(tokens))
                     split_texts, _cw, _ = split_by_coordinations(coords, tokens)
                     splits = [_strip_sentinels(t) for t in split_texts] or [text]
+                    n_splits += len(splits)
                     seen: set[str] = set()
                     for split_idx, split in enumerate(splits):
                         stoks = split.split() + SENTINELS
@@ -106,8 +115,10 @@ def fused_extract_stage(
                         ):
                             key = extraction_key(arg1, arg2, rel)
                             if key in seen:
+                                n_dedup += 1
                                 continue
                             seen.add(key)
+                            n_ext += 1
                             s1, n1 = _link_summary(arg1, surfaces)
                             s2, n2 = _link_summary(arg2, surfaces)
                             out["conv_id"].append(conv_id)
@@ -123,6 +134,13 @@ def fused_extract_stage(
                             out["arg1_n_mentions"].append(n1)
                             out["arg2_surface"].append(s2)
                             out["arg2_n_mentions"].append(n2)
+            if counters is not None:
+                counters.add("turns_in", len(pdf))
+                counters.add("sentences_in", n_sent)
+                counters.add("sentences_too_long", n_long)
+                counters.add("splits_out", n_splits)
+                counters.add("extractions_out", n_ext)
+                counters.add("extractions_deduped", n_dedup)
             yield pd.DataFrame(out)
 
     turns = transcripts.where(

@@ -29,6 +29,7 @@ from ..linking import (
     violation_counters,
 )
 from .checkpoint import CheckpointManager
+from .metrics import FUSED_COUNTERS, StageCounters
 
 
 @dataclass
@@ -50,10 +51,14 @@ def run_production(
 ) -> ProductionResult:
     mgr = CheckpointManager(spark, out_dir, n_buckets=n_buckets)
     surfaces = dictionary_surfaces(alias)
+    counters = StageCounters(spark, "fused_extract", FUSED_COUNTERS)
 
     def extract(pending: DataFrame) -> DataFrame:
         return link_triples_inline(
-            fused_extract_stage(pending, surfaces, partitions=partitions), alias
+            fused_extract_stage(
+                pending, surfaces, partitions=partitions, counters=counters
+            ),
+            alias,
         )
 
     run = mgr.run_stage("triples", transcripts, extract)
@@ -99,11 +104,15 @@ def run_production(
             ),
         )
 
-    counters = violation_counters(triples).withColumn(
+    violations = violation_counters(triples).withColumn(
         "stage", F.lit("link")
     )
     metrics_path = os.path.join(out_dir, "metrics")
-    counters.write.mode("overwrite").parquet(metrics_path)
+    violations.write.mode("overwrite").parquet(metrics_path)
+    # stage counters (accumulators filled while the extract stage ran)
+    counters.to_df(spark).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stage_counters")
+    )
 
     return ProductionResult(
         triples=triples,

@@ -49,6 +49,24 @@ def test_production_run_and_resume(spark, tmp_path):
     ) or r2.entity_nodes.count() > 0
 
 
+def test_stage_counters_written(spark, tmp_path):
+    out = str(tmp_path / "kg2")
+    t = generate_transcripts(spark, 15).cache()
+    t.count()
+    r = run_production(spark, t, alias_dict(spark), out, n_buckets=4)
+    n_triples = r.triples.count()
+    counters = {
+        row.metric: row.value
+        for row in spark.read.parquet(out + "/stage_counters").collect()
+    }
+    assert counters["extractions_out"] == n_triples
+    assert counters["sentences_in"] > 0
+    assert counters["turns_in"] > 0
+    assert counters["splits_out"] >= counters["sentences_in"] - counters[
+        "sentences_too_long"
+    ]
+
+
 def test_cli_smoke(tmp_path):
     import subprocess
     import sys
