@@ -440,10 +440,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -457,7 +457,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem) WHERE rn = 1
         """,
         "a4_topk_orders": """
-            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY o_custkey
                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -500,13 +500,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e5_join_sum_when": """
             SELECT o_orderpriority,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
                    count(*) AS n_lines
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
         """,
         "sessionize_events": """
-            SELECT user_id, sum(new_session) AS n_sessions,
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
                 SELECT user_id,
@@ -566,10 +566,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_quality": f"""
             SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-                   len(list_filter(string_split(text, ' '),
-                       t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_STOPLIST_SQL}, t))) AS INTEGER) AS n_stop,
                    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                          / len(string_split(text, ' ')), 4) AS punct_ratio,
                    round(len(list_filter(string_split(text, ' '),
@@ -583,9 +583,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_counts": """
             SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_ws_tokens,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
             FROM documents
         """,
         "docs_fingerprint": """
@@ -663,7 +663,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(q.q_vec AS DOUBLE[]),
                            CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
                 FROM embeddings e CROSS JOIN q)
-            SELECT q_id, vec_id, cos_sim, rk FROM (
+            SELECT q_id, vec_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
                 FROM scored) WHERE rk <= 10

@@ -49,8 +49,17 @@ CHECKED = sorted(ORACLES)
 @pytest.mark.parametrize("name", CHECKED)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
-    got = normalize(q(spark, SF_DIR).toPandas())
-    want = normalize(duck.sql(ORACLES[name]).df())
+    got_raw = q(spark, SF_DIR).toPandas()
+    want_raw = duck.sql(ORACLES[name]).df()
+    # dtypes must line up BEFORE normalization — the driver's schema/hash
+    # compare may be type-sensitive (duckdb HUGEINT/BIGINT vs spark int32
+    # mismatches are engineered away with explicit casts in the SQL)
+    for c in sorted(got_raw.columns):
+        assert str(got_raw[c].dtype) == str(want_raw[c].dtype), (
+            name, c, got_raw[c].dtype, want_raw[c].dtype
+        )
+    got = normalize(got_raw)
+    want = normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         got.columns, want.columns
     )
