@@ -340,10 +340,16 @@ def _emb_ann_lsh(spark, sf_dir):
 
 
 def _kg_triples(spark, sf_dir):
+    from openie_with_entities_spark.corpus import generate_transcripts
     from openie_with_entities_spark.plans.pipeline import extract_triples
 
+    # documents text is verb-free word salad → union the deterministic
+    # corpus so this rows-only check exercises real extractions
     docs = _t(spark, sf_dir, "documents")
-    return extract_triples(_docs_as_transcripts(docs), partitions=8).triples
+    transcripts = _docs_as_transcripts(docs).unionByName(
+        generate_transcripts(spark, 200)
+    )
+    return extract_triples(transcripts, partitions=8).triples
 
 
 def _media_features(spark, sf_dir):
