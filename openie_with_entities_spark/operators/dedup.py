@@ -45,6 +45,53 @@ def topk_triples(triples: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def neardedup_triples(triples: DataFrame) -> DataFrame:
+    """Near-duplicate extraction filter — the reference's
+    ``dedup_extractions`` (/root/reference/metric.py:259-295; note: the
+    reference DISABLES it at the call site, metric.py:426-430 — we ship it
+    as an opt-in operator for parity).
+
+    Per sentence: pairwise SequenceMatcher ratio > 0.9 on the
+    'args + pred' string drops the shorter (by distinct-word-count)
+    extraction; pairs touching a conjunct word are exempt (coordination
+    splits are legitimately similar). Quadratic within a sentence, bounded
+    by the ≤5-extractions-per-sentence guard → applyInPandas per sentence
+    group, never distributed further."""
+    import difflib
+
+    import pandas as pd
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in triples.schema.fields)
+    has_conj = "conj_words" in triples.columns
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["split_idx", "ext_idx"]).reset_index(drop=True)
+        strs = [
+            f"{r.arg1} {r.arg2} {r.rel}" for r in pdf.itertuples()
+        ]
+        conj_words = set()
+        if has_conj:
+            for cw in pdf["conj_words"]:
+                if cw is not None:
+                    conj_words.update(cw)
+        doomed: set[int] = set()
+        for i in range(len(strs)):
+            for j in range(i + 1, len(strs)):
+                if strs[i] == strs[j]:
+                    doomed.add(i)
+                    continue
+                if any(c in strs[i] or c in strs[j] for c in conj_words):
+                    continue
+                if difflib.SequenceMatcher(None, strs[i], strs[j]).ratio() > 0.9:
+                    li = len(set(strs[i].split()))
+                    lj = len(set(strs[j].split()))
+                    doomed.add(j if li > lj else i)
+        keep = [i for i in range(len(strs)) if i not in doomed]
+        return pdf.iloc[keep]
+
+    return triples.groupBy(*SENT_KEY).applyInPandas(dedup_group, schema=schema)
+
+
 def predicate_frequency(triples: DataFrame) -> DataFrame:
     """Normalized-predicate frequency ranking
     (/root/reference/scripts/pubmed_analysis.py:22-31): lowercase,

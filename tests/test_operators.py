@@ -125,3 +125,39 @@ def test_neural_backend_gates_cleanly():
         pytest.skip("torch present; gate not applicable")
     with pytest.raises(NotImplementedError):
         neural.get_model(neural.NeuralConfig("missing.ckpt"))
+
+
+def test_neardedup_triples(spark):
+    from openie_with_entities_spark.operators.dedup import neardedup_triples
+
+    t = _triples(
+        spark,
+        [
+            ("c", 0, 0, 0, 0, "Ada Lovelace", "founded", "Acme Corporation", 0.9),
+            ("c", 0, 0, 0, 1, "Ada Lovelace", "founded", "Acme Corporatio", 0.8),  # near-dup
+            ("c", 0, 0, 0, 2, "Grace Hopper", "joined", "the navy", 0.7),   # distinct
+            ("c", 0, 1, 0, 0, "x", "y", "z", 0.6),                          # other sentence
+        ],
+    )
+    out = neardedup_triples(t).collect()
+    assert len(out) == 3
+    texts = {r.arg2 for r in out if r.sent_idx == 0}
+    # equal distinct-word counts → the reference deletes the FIRST of the
+    # pair (metric.py:287-290: delete j only when len_i > len_j)
+    assert texts == {"Acme Corporatio", "the navy"}
+
+
+def test_neardedup_exempts_conjunct_words(spark):
+    import pandas as pd
+
+    from openie_with_entities_spark.operators.dedup import neardedup_triples
+
+    rows = [
+        dict(zip(TRIPLE_COLS, ("c", 0, 0, 0, 0, "Alan Turing", "visited", "Paris", 0.9))),
+        dict(zip(TRIPLE_COLS, ("c", 0, 0, 1, 0, "Alan Turin", "visited", "Paris", 0.8))),
+    ]
+    for r in rows:
+        r["conj_words"] = ["Alan Turing", "Alan Turin"]
+    t = spark.createDataFrame(pd.DataFrame(rows))
+    # similar pair, but both contain conjunct words → exempt, both kept
+    assert neardedup_triples(t).count() == 2

@@ -47,10 +47,10 @@ def oracle_rows(corpus):
     return reference_triples(turns)
 
 
-def test_engine_matches_oracle_exactly(result, oracle_rows):
+def _assert_engine_equals_oracle(triples_df, oracle_rows):
     engine = {
         (r.conv_id, r.turn_idx, r.sent_idx, r.arg1, r.rel, r.arg2, r.confidence)
-        for r in result.triples.collect()
+        for r in triples_df.collect()
     }
     oracle = {
         (
@@ -66,6 +66,28 @@ def test_engine_matches_oracle_exactly(result, oracle_rows):
         f"missing={list(missing)[:5]} extra={list(extra)[:5]} "
         f"(|oracle|={len(oracle)}, |engine|={len(engine)})"
     )
+
+
+def test_engine_matches_oracle_exactly(result, oracle_rows):
+    _assert_engine_equals_oracle(result.triples, oracle_rows)
+
+
+@pytest.mark.parametrize("seed", [7, 20260816])
+def test_engine_matches_oracle_other_seeds(spark, seed):
+    """Same gate on corpora the code was never tuned against."""
+    from openie_with_entities_spark.corpus import generate_transcripts
+    from openie_with_entities_spark.oracle import reference_triples
+    from openie_with_entities_spark.plans.pipeline import extract_triples
+
+    t = generate_transcripts(spark, 25, seed=seed).cache()
+    turns = [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+    res = extract_triples(t, partitions=8)
+    _assert_engine_equals_oracle(res.triples, reference_triples(turns))
 
 
 def test_carb_pr_gate(spark, result, oracle_rows):
