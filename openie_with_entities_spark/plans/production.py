@@ -48,12 +48,26 @@ def run_production(
     out_dir: str,
     n_buckets: int = 16,
     partitions: int | None = None,
+    link_mode: str = "inline",
+    n_salt: int = 16,
 ) -> ProductionResult:
+    """``link_mode``: 'inline' (broadcast-regime map literal, default) or
+    'salted' (dictionary too big to broadcast: modular mention stage +
+    salted shuffle join — the hot-entity skew path)."""
     mgr = CheckpointManager(spark, out_dir, n_buckets=n_buckets)
     surfaces = dictionary_surfaces(alias)
     counters = StageCounters(spark, "fused_extract", FUSED_COUNTERS)
 
     def extract(pending: DataFrame) -> DataFrame:
+        if link_mode == "salted":
+            from ..linking import link_mentions_salted, link_triples
+            from ..plans.pipeline import extract_triples
+
+            res = extract_triples(pending, partitions=partitions)
+            linked_m = link_mentions_salted(
+                detect_mentions(res.triples), alias, n_salt=n_salt
+            )
+            return link_triples(res.triples, linked_m)
         return link_triples_inline(
             fused_extract_stage(
                 pending, surfaces, partitions=partitions, counters=counters

@@ -67,6 +67,26 @@ def test_stage_counters_written(spark, tmp_path):
     ]
 
 
+def test_salted_link_mode_matches_inline(spark, tmp_path):
+    t = generate_transcripts(spark, 15).cache()
+    t.count()
+    alias = alias_dict(spark)
+    a = run_production(
+        spark, t, alias, str(tmp_path / "a"), n_buckets=4, link_mode="inline"
+    )
+    b = run_production(
+        spark, t, alias, str(tmp_path / "b"), n_buckets=4, link_mode="salted"
+    )
+    cols = [
+        "conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx",
+        "arg1", "rel", "arg2", "confidence",
+        "arg1_entity_id", "arg2_entity_id",
+    ]
+    ra = {tuple(r[c] for c in cols) for r in a.triples.select(cols).collect()}
+    rb = {tuple(r[c] for c in cols) for r in b.triples.select(cols).collect()}
+    assert ra == rb and ra
+
+
 def test_cli_smoke(tmp_path):
     import subprocess
     import sys
