@@ -201,3 +201,41 @@ def test_snap_objects(spark):
     assert out[0].rel_snapped == "joined the board of"
     assert out[1].arg2_snapped == "all day"
     assert out[1].rel_snapped == "slept"
+
+
+def test_stateful_conversation_progress(spark, tmpdir):
+    from openie_with_entities_spark.corpus import generate_transcripts
+    from openie_with_entities_spark.streaming.ingest import stream_transcripts
+    from openie_with_entities_spark.streaming.stateful import (
+        conversation_progress,
+    )
+
+    inp = os.path.join(tmpdir, "sin")
+    generate_transcripts(spark, 8).write.mode("overwrite").parquet(inp)
+    stream = stream_transcripts(spark, inp, max_files_per_trigger=4)
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .option("checkpointLocation", os.path.join(tmpdir, "sck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    if not finished:
+        status = q.status
+        q.stop()
+        raise AssertionError(f"stateful query did not finish: {status}")
+    rows = spark.sql(
+        "SELECT conv_id, max(turns_seen) AS turns FROM conv_progress GROUP BY conv_id"
+    ).collect()
+    got = {r.conv_id: r.turns for r in rows}
+    expected = {
+        r.conv_id: r.n
+        for r in spark.read.parquet(inp)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
