@@ -168,3 +168,36 @@ def test_checkpoint_partial_resume(spark, tmp_path_factory):
     assert r.buckets_processed == 8
     expected = t.count()
     assert r.output.count() == expected
+
+
+def test_connected_components_at_scale(spark):
+    """200k-edge graph: stars (breadth) + chains (depth) — converges within
+    the iteration cap, labels every node, components are consistent."""
+    import time
+
+    n = 200_000
+    base = spark.range(n)
+    stars = base.selectExpr(
+        "concat('n', id) AS src", "concat('n', id - (id % 20)) AS dst"
+    )
+    # chains of length 40 threading every 20-node star into a super-cluster
+    chains = base.where("id % 20 = 0 AND id % 800 <> 0").selectExpr(
+        "concat('n', id) AS src", "concat('n', id - 20) AS dst"
+    )
+    edges = stars.union(chains)
+    t0 = time.monotonic()
+    comps = connected_components(edges).cache()
+    n_nodes = comps.count()
+    wall = time.monotonic() - t0
+    assert n_nodes == n
+    # every 800-block collapses to one component rooted at its min node
+    from pyspark.sql import functions as F
+
+    n_comps = comps.select("component").distinct().count()
+    assert n_comps == n // 800
+    bad = comps.where(
+        F.expr("CAST(substring(node, 2) AS LONG) DIV 800")
+        != F.expr("CAST(substring(component, 2) AS LONG) DIV 800")
+    ).count()
+    assert bad == 0
+    assert wall < 120, f"CC too slow: {wall:.1f}s"
