@@ -8,17 +8,16 @@ extractions (/root/reference/model.py:595-599) plus alias snapping
 graph problem: surfaces linking to the same KB entity, or normalizing to the
 same string, are one node cluster.
 
-``connected_components`` is the standard alternating min-label propagation
-(large-star/small-star family) as iterative DataFrame joins:
+``connected_components`` is the alternating large-star/small-star algorithm
+(Kiveris et al.) as iterative DataFrame joins:
 
-  * labels start as each node's own id;
-  * each round every node takes min(own label, neighbors' labels);
+  * large-star hangs every larger neighbor off the neighborhood minimum,
+    small-star re-roots each ≤-neighborhood — components collapse to stars
+    in O(log²(diameter)) rounds (NOT O(diameter): plain min-propagation was
+    the first implementation here and failed a 40-hop chain; see git log);
   * ``localCheckpoint`` truncates the lineage each round (without it the
     plan doubles per iteration and the driver OOMs long before 100 TB);
-  * convergence is a driver-side count of changed labels (cheap: one agg).
-
-Rounds needed = graph diameter ≈ alias-chain length (tiny, single digits),
-NOT corpus size — this loop scales with dictionary structure, not data.
+  * convergence is a cheap (count, hash-sum) checksum of the edge set.
 """
 
 from __future__ import annotations
