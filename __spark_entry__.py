@@ -323,6 +323,17 @@ def _cc_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def _a3_neardedup(spark, sf_dir):
+    from openie_with_entities_spark.operators.dedup import neardedup_triples
+
+    t = spark.createDataFrame(
+        _TRIPLES_FIXTURE
+        + [("c0", 1, 0, 0, 2, "Eve", "praised", "Turin", 0.5)],  # near-dup
+        _TRIPLES_DDL,
+    )
+    return neardedup_triples(t)
+
+
 def _docs_simhash(spark, sf_dir):
     from openie_with_entities_spark.operators.docops import simhash64
 
@@ -386,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_oie_format": _s6_oie_format,
         "a8_snap_objects": _a8_snap_objects,
         "cc_components": _cc_components,
+        "a3_neardedup": _a3_neardedup,
         "docs_simhash": _docs_simhash,
         "emb_ann_lsh": _emb_ann_lsh,
         "kg_triples": _kg_triples,
