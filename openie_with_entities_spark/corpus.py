@@ -121,8 +121,12 @@ def make_sentence(rng: random.Random) -> str:
     kind = rng.random()
     if kind < 0.30:  # simple SVO
         return f"{_pick(rng, PEOPLE, True)} {rng.choice(VERBS)} {_pick(rng, ORGS, True)} ."
-    if kind < 0.45:  # copular / appositive (exercises rel_case decode)
+    if kind < 0.40:  # copular "is X of" (rel_case 2 decode)
         return f"{_pick(rng, PEOPLE)} {rng.choice(ROLES_NOUN)} of {_pick(rng, ORGS, True)} ."
+    if kind < 0.43:  # copular "is X from" (rel_case 3 decode)
+        return f"{_pick(rng, PEOPLE)} {rng.choice(ROLES_NOUN)} from {_pick(rng, LOCS)} ."
+    if kind < 0.45:  # bare appositive "is X" (rel_case 1 decode)
+        return f"{_pick(rng, PEOPLE)} a {rng.choice(ROLES_NOUN)} ."
     if kind < 0.60:  # coordination that must split: "A , B and C V O ."
         a, b, c = rng.sample(PEOPLE, 3)
         return f"{a} , {b} and {c} {rng.choice(VERBS)} {_pick(rng, LOCS, True)} ."

@@ -103,21 +103,24 @@ def oie_label_matrix(tokens: list[str]) -> tuple[list[list[int]], list[float]]:
         )
         if role is not None:
             row = [0] * n
+            next_tok = tokens[role + 1] if role + 1 < n else ""
+            # pick the copular rel case from the connective after the role
+            # noun: 'of' → "is X of" (case 2), 'from' → "is X from" (case
+            # 3), none → "is X" (case 1); the decoder reads the case off
+            # the [unusedK] token carrying the REL label
+            # (/root/reference/model.py:573-579)
+            rel_case = {"of": 2, "from": 3}.get(next_tok, 1)
             for i, t in enumerate(tokens):
                 if is_sentinel(t) or t in PUNCT:
                     continue
                 if i < role:
-                    row[i] = 1
+                    row[i] = 1 if t != "a" else 0
                 elif i == role:
                     row[i] = 2
-                elif t != "of":
+                elif t not in ("of", "from"):
                     row[i] = 3
-            # rel-case 2 → decoder renders "is <role> of"
-            unused2 = next(i for i, t in enumerate(tokens) if t == "[unused2]")
-            row[unused2] = 2
-            # 'of' right after the role noun is absorbed by the rel case
-            if role + 1 < n and tokens[role + 1] == "of":
-                row[role + 1] = 0
+            marker = f"[unused{rel_case}]"
+            row[tokens.index(marker)] = 2
             rows.append(row)
             confs.append(conf(0))
     return rows, confs

@@ -165,3 +165,17 @@ class TestLabelerContracts:
 
     def test_quote_normalization(self):
         assert normalize_quotes("’ “ ”") == "' '' ''"
+
+
+class TestRelCases:
+    def test_rel_case_from(self):
+        tokens = toks("Ada founder from Paris .")
+        rows, confs = oie_label_matrix(tokens)
+        exts = decode_extractions(rows, tokens, confs)
+        assert exts[0][:3] == ("Ada", "is founder from", "Paris")
+
+    def test_rel_case_bare(self):
+        tokens = toks("Ada a director .")
+        rows, confs = oie_label_matrix(tokens)
+        exts = decode_extractions(rows, tokens, confs)
+        assert exts[0][:3] == ("Ada", "is director", "")
