@@ -323,6 +323,25 @@ def _cc_components(spark, sf_dir):
     return connected_components(edges)
 
 
+_NARY_FIXTURE = [
+    (0, "Ada", "moved", "the office", ["to Paris", "last year"]),
+    (1, "Bob", "handed", "the keys", ["To Eve"]),
+    (2, "Eve", "slept", "well", []),
+]
+_NARY_DDL = (
+    "sent_id int, arg1 string, rel string, arg2 string, "
+    "extra_args array<string>"
+)
+
+
+def _e4_binarize(spark, sf_dir):
+    from openie_with_entities_spark.operators.binarize import (
+        binarize_extractions,
+    )
+
+    return binarize_extractions(spark.createDataFrame(_NARY_FIXTURE, _NARY_DDL))
+
+
 def _a3_neardedup(spark, sf_dir):
     from openie_with_entities_spark.operators.dedup import neardedup_triples
 
@@ -397,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_oie_format": _s6_oie_format,
         "a8_snap_objects": _a8_snap_objects,
         "cc_components": _cc_components,
+        "e4_binarize": _e4_binarize,
         "a3_neardedup": _a3_neardedup,
         "docs_simhash": _docs_simhash,
         "emb_ann_lsh": _emb_ann_lsh,
@@ -434,6 +454,16 @@ def _triples_values() -> str:
 
 def _edges_values() -> str:
     return ", ".join(f"({_sql_str(a)}, {_sql_str(b)})" for a, b in _EDGES_FIXTURE)
+
+
+def _nary_values() -> str:
+    def arr(xs):
+        return "[" + ", ".join(_sql_str(x) for x in xs) + "]"
+
+    return ", ".join(
+        f"({sid}, {_sql_str(a1)}, {_sql_str(r)}, {_sql_str(a2)}, {arr(ex)})"
+        for (sid, a1, r, a2, ex) in _NARY_FIXTURE
+    )
 
 
 def _alias_values() -> str:
@@ -656,6 +686,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sf IS NOT NULL AND length(sf) > 0 THEN cn
                         ELSE arg2 END AS arg2_snapped
             FROM ranked WHERE rk = 1
+        """,
+        "e4_binarize": f"""
+            WITH t(sent_id, arg1, rel, arg2, extra_args) AS (VALUES {_nary_values()}),
+            preps AS (SELECT ['above','across','against','along','among',
+                'around','at','before','behind','below','beneath','beside',
+                'between','by','for','from','in','into','near','of','off',
+                'on','to','toward','under','upon','with','within'] AS p),
+            base AS (
+                SELECT sent_id, arg1, rel, arg2, 0 AS ext_variant FROM t),
+            ex AS (
+                SELECT sent_id, arg1, rel, arg2,
+                       unnest(extra_args) AS extra,
+                       generate_subscripts(extra_args, 1) AS i
+                FROM t),
+            folded AS (
+                SELECT sent_id, arg1,
+                       rel || ' ' || arg2 ||
+                       CASE WHEN list_contains((SELECT p FROM preps),
+                                 lower(string_split(extra, ' ')[1]))
+                            THEN ' ' || string_split(extra, ' ')[1]
+                            ELSE '' END AS rel,
+                       CASE WHEN list_contains((SELECT p FROM preps),
+                                 lower(string_split(extra, ' ')[1]))
+                            THEN array_to_string(string_split(extra, ' ')[2:], ' ')
+                            ELSE extra END AS arg2,
+                       CAST(i AS INTEGER) AS ext_variant
+                FROM ex)
+            SELECT * FROM base UNION ALL SELECT * FROM folded
         """,
         "cc_components": f"""
             WITH RECURSIVE e(src, dst) AS (VALUES {_edges_values()}),
