@@ -206,6 +206,61 @@ def _sessionize_events(spark, sf_dir):
     )
 
 
+def _rollup_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _grouping_sets_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket, count(*) AS n,
+               sum(cents) AS value_cents
+        FROM (
+            SELECT event_type,
+                   CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM _events_gs)
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
+def _events_by_hour(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+def _approx_stats(spark, sf_dir):
+    # approximate sketches (HLL / quantile digests) differ across engines
+    # by design → rows-only check
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
 def _docs_dedup_exact(spark, sf_dir):
     from openie_with_entities_spark.operators.docops import dedup_exact
 
@@ -404,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_regex_extract": _s5_regex_extract,
         "e5_join_sum_when": _e5_join_sum_when,
         "sessionize_events": _sessionize_events,
+        "rollup_pricing": _rollup_pricing,
+        "grouping_sets_events": _grouping_sets_events,
+        "events_by_hour": _events_by_hour,
+        "approx_stats": _approx_stats,
         "docs_dedup_exact": _docs_dedup_exact,
         "docs_minhash_lsh": _docs_minhash_lsh,
         "docs_ngram_jaccard": _docs_ngram_jaccard,
@@ -565,6 +624,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             GROUP BY user_id
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_events": """
+            SELECT event_type, user_bucket, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM (
+                SELECT event_type,
+                       CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+            GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """,
+        "events_by_hour": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY 1, 2
         """,
         "docs_dedup_exact": """
             SELECT md5(text) AS content_hash,
