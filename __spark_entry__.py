@@ -439,11 +439,13 @@ def _kg_triples(spark, sf_dir):
 
 def _media_features(spark, sf_dir):
     from openie_with_entities_spark.operators.multimodal import (
-        extract_features,
+        feature_fingerprints,
         synth_media,
     )
 
-    return extract_features(synth_media(spark, 64), fake=True)
+    # scalar-only projection: the driver's canonicalizer sorts every output
+    # column, so the float array travels as an md5 fingerprint
+    return feature_fingerprints(synth_media(spark, 64), fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

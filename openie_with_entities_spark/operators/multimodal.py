@@ -88,3 +88,26 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def feature_fingerprints(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Contract-friendly projection of ``extract_features``: every output
+    column is a sortable scalar (the driver's canonicalizer sorts all
+    columns, and array cells are unhashable in pandas). The feature vector
+    survives as ``feature_fp`` = md5 of its 4-dp JSON rendering, plus
+    ``feature_dim``/``feature_l1`` as numeric summaries — enough for a
+    stable cross-run identity check without shipping the array."""
+    feats = extract_features(media, fake=fake)
+    rounded = F.transform(
+        F.col("feature"), lambda x: F.round(x.cast("double"), 4)
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5(F.to_json(rounded)).alias("feature_fp"),
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.aggregate(rounded, F.lit(0.0), lambda s, x: s + x), 4
+        ).alias("feature_l1"),
+    )

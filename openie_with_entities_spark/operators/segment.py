@@ -56,7 +56,13 @@ def segment_turns(transcripts: DataFrame) -> DataFrame:
         "sent_idx",
         "raw_text",
         normalized.alias("text"),
-        F.size(F.split(F.col("raw_text"), " ")).alias("n_tokens"),
+        # Python str.split() semantics (what the fused stage and the oracle
+        # use): empty tokens from doubled/trailing spaces do NOT count —
+        # F.size(F.split(x, ' ')) alone would count them and break the
+        # fused≡modular invariant near the 97-token boundary.
+        F.size(
+            F.filter(F.split(F.col("raw_text"), " "), lambda t: t != "")
+        ).alias("n_tokens"),
     ).withColumn("eligible", F.col("n_tokens") <= MAX_CORE_TOKENS)
 
 

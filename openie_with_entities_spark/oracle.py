@@ -10,6 +10,20 @@ reference's architecture — global ``mapping`` / ``conj_word_mapping`` dicts
 keyed by sentence text (/root/reference/run.py:163-204), per-sentence
 accumulation dict with insert-time dedup (/root/reference/model.py:609-634)
 — everything the Spark engine replaces with key columns.
+
+Intentional divergence (fidelity bound, not a bug): the reference's
+``all_predictions``/``mapping`` dicts are keyed by sentence TEXT globally
+(/root/reference/run.py:163-204, model.py:609-634), so two identical
+sentence texts in different turns are pooled and deduped TOGETHER there.
+This oracle — like the engine — keys by (conv_id, turn_idx, sent_idx) and
+emits per instance, because the north rule requires per-turn outputs under
+stable (conv_id, turn_idx) ordering; a text-global dedup would silently
+drop triples from later duplicate turns (the synthetic corpus's repeated
+no-entity filler sentence is the visible case). The acceptance gate's
+"ordered exactly as the reference's sequential writer" claim therefore
+holds per-instance; for duplicate texts the reference would emit the pooled
+set once, this oracle once per instance — same triple set per sentence
+text, different multiplicity.
 """
 
 from __future__ import annotations

@@ -21,24 +21,31 @@ OIE_LABEL_NAMES = ["NONE", "ARG1", "REL", "ARG2", "LOC", "TYPE"]
 
 
 def read_gold_tsv(spark: SparkSession, path: str) -> DataFrame:
-    """CaRB gold TSV: sentence \\t rel \\t arg1 [\\t argN…]; `C:`-prefixed
-    context args are dropped; confidence fixed at 1."""
+    """CaRB gold TSV: sentence \\t rel \\t arg1 [\\t argN…]; confidence
+    fixed at 1.
+
+    Exactly the reference GoldReader's arg semantics
+    (/root/reference/carb/oie_readers/goldReader.py:14-38): any arg
+    containing ``"C: "`` at ANY position is dropped and later args shift up
+    BEFORE arg1/arg2 are assigned, and every field is stripped — dev.tsv has
+    lines with a `C: ` arg in the arg2 slot, so pinning fields 3/4 would
+    mis-assign them."""
     raw = spark.read.text(path)
     parts = F.split(F.col("value"), "\t")
-    return (
-        raw.where(F.length("value") > 0)
-        .select(
-            F.element_at(parts, 1).alias("sentence"),
-            F.element_at(parts, 2).alias("rel"),
-            F.element_at(parts, 3).alias("arg1"),
-            F.element_at(parts, 4).alias("arg2"),
-            F.filter(
-                F.slice(parts, 5, 1000),
-                lambda a: a.isNotNull() & ~a.startswith("C: "),
-            ).alias("extra_args"),
-            F.lit(1.0).alias("confidence"),
-        )
-        .withColumn("arg2", F.coalesce("arg2", F.lit("")))
+    args = F.transform(
+        F.filter(
+            F.slice(parts, 3, 100000),
+            lambda a: a.isNotNull() & ~a.contains("C: "),
+        ),
+        F.trim,
+    )
+    return raw.where(F.length("value") > 0).select(
+        F.trim(F.element_at(parts, 1)).alias("sentence"),
+        F.trim(F.element_at(parts, 2)).alias("rel"),
+        F.coalesce(F.get(args, 0), F.lit("")).alias("arg1"),
+        F.coalesce(F.get(args, 1), F.lit("")).alias("arg2"),
+        F.slice(args, 3, 100000).alias("extra_args"),
+        F.lit(1.0).alias("confidence"),
     )
 
 

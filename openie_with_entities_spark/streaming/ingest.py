@@ -53,16 +53,34 @@ def run_stream_to_table(
     checkpoint_dir: str,
     once: bool = True,
 ):
-    """foreachBatch writer: append triples + a lineage row per micro-batch.
-    ``once=True`` drains everything available and stops (used by tests and
-    backfills); continuous mode just drops the trigger."""
+    """foreachBatch writer: exactly-once-observable triples + a lineage row
+    per micro-batch. ``once=True`` drains everything available and stops
+    (used by tests and backfills); continuous mode just drops the trigger.
+
+    Idempotency: Structured Streaming retries a failed micro-batch with the
+    SAME epoch_id, so a plain append would duplicate the whole batch if the
+    crash landed between the data write and the checkpoint commit. Each
+    epoch therefore dynamically OVERWRITES its own ``epoch=<id>`` partition
+    (data and lineage both) — a retry replaces its previous partial output
+    instead of appending a second copy."""
     spark = triples_stream.sparkSession
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        df.write.mode("append").parquet(os.path.join(out_path, "data"))
+        df = df.persist()
+        n = df.count()
+        (
+            df.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(os.path.join(out_path, "data"))
+        )
         spark.createDataFrame(
-            [(int(epoch_id), df.count())], "epoch long, rows_out long"
-        ).write.mode("append").parquet(os.path.join(out_path, "lineage"))
+            [(int(epoch_id), n)], "epoch long, rows_out long"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(os.path.join(out_path, "lineage"))
+        df.unpersist()
 
     writer = (
         triples_stream.writeStream.outputMode("append")

@@ -29,11 +29,15 @@ def test_gold_tsv_roundtrip(spark, tmpdir):
     with open(path, "w") as f:
         f.write("the cat sat .\tsat\tthe cat\t\n")
         f.write("a b c\tb\ta\tc\tC: ctx\textra\n")
+        # C:-arg in the arg1 slot → later args must SHIFT UP (GoldReader
+        # filters args before assigning, goldReader.py:14-38)
+        f.write("d e f\te\tC: lead\td\tf\n")
     df = read_gold_tsv(spark, path)
     rows = {r.sentence: r for r in df.collect()}
     assert rows["the cat sat ."].rel == "sat"
     assert rows["a b c"].extra_args == ["extra"]  # C:-arg dropped
     assert rows["the cat sat ."].confidence == 1.0
+    assert (rows["d e f"].arg1, rows["d e f"].arg2) == ("d", "f")
 
 
 def test_allennlp_roundtrip(spark, tmpdir):
@@ -155,7 +159,8 @@ def test_streaming_ingest(spark, tmpdir):
     run_stream_to_table(triples, out, ck, once=True)
 
     got = spark.read.parquet(os.path.join(out, "data"))
-    assert got.count() > 0
+    got_count = got.count()
+    assert got_count > 0
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     assert lineage.agg(F.sum("rows_out")).collect()[0][0] == got.count()
 
@@ -170,6 +175,25 @@ def test_streaming_ingest(spark, tmpdir):
         once=True,
     )
     assert spark.read.parquet(os.path.join(out, "data")).count() == got.count()
+
+    # retry semantics: wiping the checkpoint replays the same epoch_ids over
+    # the same files — idempotent per-epoch overwrite must NOT duplicate rows
+    # (the at-least-once failure mode of a plain append)
+    import shutil
+
+    shutil.rmtree(ck)
+    run_stream_to_table(
+        streaming_triples(
+            stream_transcripts(spark, inp, max_files_per_trigger=2),
+            dictionary_surfaces(alias_dict(spark)),
+        ),
+        out,
+        ck,
+        once=True,
+    )
+    # the overwrite invalidated the session's cached file listing for the path
+    spark.catalog.refreshByPath(os.path.join(out, "data"))
+    assert spark.read.parquet(os.path.join(out, "data")).count() == got_count
 
 
 def test_snap_objects(spark):

@@ -163,3 +163,33 @@ def test_long_sentences_filtered(result):
         "inner",
     )
     assert joined.count() == 0
+
+
+def test_doubled_space_token_boundary(spark):
+    """Eligibility counts tokens with Python str.split() semantics in BOTH
+    paths: doubled spaces near the 97-token boundary must not flip the
+    eligible flag between segment_turns (native F.split counts empty
+    tokens unless filtered) and the fused/oracle paths (str.split collapses
+    them)."""
+    from openie_with_entities_spark.operators.segment import segment_turns
+
+    # exactly 97 real tokens with a doubled space before the terminator —
+    # Java-split semantics would count the empty token and see 98
+    text = " ".join(["w"] * 96) + "  ."
+    assert len(text.split()) == 97
+
+    df = spark.createDataFrame(
+        [("c0", 0, "user", text, None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    seg = segment_turns(df).collect()
+    assert len(seg) == 1
+    assert seg[0].n_tokens == 97
+    assert seg[0].eligible  # Java-split empty tokens must not count
+
+    oracle = reference_triples([("c0", 0, text)])
+    engine = extract_triples(df, partitions=2).triples.collect()
+    # both paths agree the sentence is eligible (may yield zero triples —
+    # 'w' is no verb — but the sentence must flow through identically)
+    assert len(engine) == len(oracle)
