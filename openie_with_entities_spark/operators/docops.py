@@ -123,6 +123,19 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 # -------------------------------------------------------------------- dedup
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Rebalance tiny scans across cores. A small local parquet arrives as
+    ONE input split, which would serialize the CPU-heavy hash projections
+    below onto a single core. No-op (no shuffle) when the scan already has
+    enough partitions — at 100 TB the reader produces thousands of splits on
+    its own and this never fires."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup by content hash: one aggregate, map-side combinable —
     the canonical first pass at 100 TB (shuffle keys are 32-byte hashes,
@@ -136,19 +149,51 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def char_shingles(docs: DataFrame, k: int = 15) -> DataFrame:
-    """Distinct character k-gram shingles per document."""
-    return (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(f"sequence(1, greatest(length(text) - {k - 1}, 1))")
-            ).alias("_p", "i"),
-            "text",
-        )
-        .select("doc_id", F.expr(f"substring(text, i, {k})").alias("shingle"))
-        .distinct()
+def shingle_array(k: int = 15):
+    """Per-row DISTINCT k-gram shingle array as a pure projection over
+    ``text`` — per-doc distinct inside the row means no global distinct
+    SHUFFLE is ever needed to get the shingle set."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
     )
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.col("text").substr(i, F.lit(k)))
+    )
+
+
+def char_shingles(docs: DataFrame, k: int = 15) -> DataFrame:
+    """Distinct character k-gram shingles per document, one row each —
+    derived shuffle-free from shingle_array (explode of a per-row distinct
+    array ≡ explode + global distinct on (doc_id, shingle))."""
+    return _spread(docs).select(
+        "doc_id", F.explode(shingle_array(k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 15, bands: int = 4
+) -> DataFrame:
+    """Per-band MinHash signatures as a PURE PROJECTION — zero shuffle.
+
+    The shingle set never materializes as rows: positions → shingles →
+    per-band md5 → array_min, all inside one whole-stage-codegen'd
+    projection (min over shingle POSITIONS equals min over the distinct
+    shingle SET, so this is value-identical to the explode→distinct→groupBy
+    formulation — and to the DuckDB oracle — while removing two shuffles
+    and a row explosion of one row per character)."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+    )
+    shingles = F.transform(positions, lambda i: F.col("text").substr(i, F.lit(k)))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat_ws("|", F.lit(b), s))
+            )
+        ).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    return _spread(docs).select("doc_id", *sig_cols)
 
 
 def minhash_lsh_candidates(
@@ -156,39 +201,24 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates.
 
-    shingle → per-band min(md5(band||shingle)) signature → docs sharing a
+    per-row band signatures (see minhash_signatures) → docs sharing a
     (band, signature) bucket become a candidate pair. The doc↔doc join is
     per-bucket (tiny groups), never all-pairs; at 100 TB the band count and
-    k trade recall vs bucket size exactly as in the published LSH analyses.
-    """
-    sh = char_shingles(docs, k)
-    # all band minima in ONE aggregation pass (no band-explode: 4× less
-    # shuffle input than the naive explode-then-group formulation)
-    sigs = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.md5(F.concat_ws("|", F.lit(b), F.col("shingle")))
-                ).alias(f"sig{b}")
-                for b in range(bands)
-            ]
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bs"),
-        )
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    )
+    k trade recall vs bucket size exactly as in the published LSH analyses,
+    and the only shuffled payload is (doc_id, band, 32-byte sig)."""
+    sigs = minhash_signatures(docs, k, bands).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -205,90 +235,94 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_prefix_candidates(
+    docs: DataFrame, k: int = 15, threshold: float = 0.5
+) -> DataFrame:
+    """Candidate pairs for exact Jaccard ≥ t, by prefix filtering under a
+    DOCUMENT-FREQUENCY global order (ppjoin-style).
+
+    Exactness: any total order admits the prefix-filter theorem — two sets
+    with Jaccard ≥ t share their globally-smallest common element within
+    each set's first |S| − ⌈t·|S|⌉ + 1 shingles, so joining PREFIXES with
+    PREFIXES loses no true pair; the size filter t·|A| ≤ |B| ≤ |A|/t is
+    likewise implied by J ≥ t.
+
+    Why df-ascending (rarest shingle first, not md5): postings lists in the
+    candidate join are then the RAREST shingles. A hot boilerplate 15-gram
+    shared by 10⁶ documents sorts LAST and falls outside every prefix
+    (unless a document is so short the prefix covers its whole set), so the
+    O(postings²) blowup of an inverted-index self-join on hot shingles
+    cannot happen — the defense is structural, not a lossy cap."""
+    sh = char_shingles(docs, k)
+    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # set size via a count window over the SAME partitioning as the rank —
+    # one exchange serves both, where a groupBy+join would add two
+    prefix = (
+        sh.join(doc_freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("_rk"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+        )
+        .where(
+            F.col("_rk")
+            <= F.floor((1 - threshold) * F.col("n_sh")).cast("int") + 1
+        )
+        .select("doc_id", "shingle", "n_sh")
+    )
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 15, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact shingle-set Jaccard via PREFIX FILTERING (ppjoin-style).
+    """Exact shingle-set Jaccard ≥ t: df-ordered prefix-filter candidates
+    (see jaccard_prefix_candidates) then EXACT intersection counts, so the
+    result is IDENTICAL to the brute-force formulation (the DuckDB oracle
+    runs brute force — the driver's compare proves the equivalence every
+    round). Previous revisions switched to a raw inverted-index self-join
+    below t=0.7; that path had no defense against hot shingles (a shared
+    boilerplate 15-gram made the join quadratic in its postings), so all
+    thresholds now take the prefix path.
 
-    Two shingle sets with Jaccard ≥ t must share an element within each
-    set's ⌊(1−t)·|S|⌋+1 smallest shingles (by any global order — we use
-    md5, portable to the oracle). Candidate pairs therefore come from a
-    self-join of the PREFIXES only, which prunes the near-all-pairs blowup
-    that common shingles cause on repetitive text; intersections are then
-    counted exactly, so the result is IDENTICAL to the brute-force
-    formulation (the DuckDB oracle runs brute force — the driver's compare
-    proves the equivalence every round).
-
-    Prefix filtering only pays when (1−t) is small: at t=0.5 the prefix is
-    half of every set and the extra candidate→intersection join costs more
-    than it prunes (measured 5×), so low thresholds take the direct
-    inverted-index join."""
-    sh = char_shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
-    if threshold >= 0.7:
-        w = Window.partitionBy("doc_id").orderBy(F.md5("shingle"), "shingle")
-        prefix = (
-            sh.withColumn("_rk", F.row_number().over(w))
-            .join(sizes, "doc_id")
-            .where(
-                F.col("_rk")
-                <= F.floor((1 - threshold) * F.col("n_sh")).cast("int") + 1
-            )
-            .select("doc_id", "shingle")
-        )
-        candidates = (
-            prefix.alias("a")
-            .join(
-                prefix.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        inter = (
-            candidates.join(sh.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
-            .join(
-                sh.alias("b"),
-                (F.col("b.doc_id") == F.col("doc_b"))
-                & (F.col("b.shingle") == F.col("a.shingle")),
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_inter"))
-        )
-    else:
-        inter = (
-            sh.alias("a")
-            .join(
-                sh.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .agg(F.count("*").alias("n_inter"))
-        )
+    Intersections are counted with array_intersect over the two documents'
+    shingle ARRAYS joined onto the (small) candidate set — proportional to
+    candidates, where a re-join of the exploded shingle table would shuffle
+    the full 15×-text-size posting rows twice more."""
+    candidates = jaccard_prefix_candidates(docs, k, threshold)
+    arrs = _spread(docs).select("doc_id", shingle_array(k).alias("sh"))
+    joined = candidates.join(
+        arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sh_a")),
+        "doc_a",
+    ).join(
+        arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_sh_b")),
+        "doc_b",
+    )
+    n_inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    n_union = F.size("_sh_a") + F.size("_sh_b") - n_inter
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_sh", "n_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ),
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(n_inter / n_union, 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -300,7 +334,7 @@ def simhash64(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
     ``prefix_bits`` as the bucket key. (xxhash64 is Spark-side only, so this
     operator is checked rows-only, not against the DuckDB oracle.)
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bits = toks.select(

@@ -177,3 +177,39 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     assert read_table(spark, p).count() == 10
     write_table(df, p, mode="append")
     assert read_table(spark, p).count() == 20
+
+
+def test_hot_shingle_bounded_candidates(spark):
+    """A boilerplate 15-gram shared by EVERY document must not explode the
+    Jaccard candidate join into all-pairs: under df-ascending prefix order
+    the hot shingle sorts last and falls outside every prefix, so candidate
+    count stays 0 for otherwise-disjoint docs (an inverted-index self-join
+    would have produced N·(N-1)/2 pairs)."""
+    import random
+
+    from openie_with_entities_spark.operators.docops import (
+        jaccard_prefix_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    boiler = "SHARED-BOILER15"  # exactly 15 chars → exactly one hot shingle
+    assert len(boiler) == 15
+    rows = [
+        (i, boiler + "".join(rng.choice("abcdefghij") for _ in range(60)))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_cand = jaccard_prefix_candidates(docs, threshold=0.5).count()
+    assert n_cand < 80, f"hot shingle blew up the candidate join: {n_cand}"
+    # end-to-end result matches brute force (which finds no pairs >= 0.5)
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+    # near-duplicate pair planted among the hot-shingle docs is still found
+    rows.append((1000, rows[0][1] + "x"))
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs2, threshold=0.5).collect()
+    }
+    assert (0, 1000) in pairs
