@@ -752,25 +752,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM alias GROUP BY surface_form),
             t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
               arg1, rel, arg2, confidence) AS (VALUES {_triples_values()}),
+            toks AS (
+                SELECT t.*, list_filter(string_split(arg2, ' '), x -> x <> '') AS tk
+                FROM t),
+            cand AS (
+                SELECT toks.*, j,
+                       trim(regexp_replace(regexp_replace(
+                           lower(array_to_string(tk[len(tk) - j + 1:], ' ')),
+                           '[^\\w\\s]', '', 'g'), ' +', ' ', 'g')) AS suffix,
+                       trim(array_to_string(tk[1:len(tk) - j], ' ')) AS prefix
+                FROM toks, unnest([1, 2, 3, 4]) AS u(j)
+                WHERE j <= greatest(len(tk), 1)),
             m AS (
-                SELECT t.*, a.surface_form AS sf, a.canonical_name AS cn
-                FROM t LEFT JOIN best_alias a
-                  ON ends_with(lower(regexp_replace(t.arg2, '[^\\w\\s]', '', 'g')),
-                               a.surface_form)
-                     AND a.surface_form <> ''),
+                SELECT cand.*, a.surface_form AS sf, a.canonical_name AS cn
+                FROM cand JOIN best_alias a
+                  ON cand.suffix = a.surface_form AND a.surface_form <> ''),
             ranked AS (
                 SELECT *, row_number() OVER (
                     PARTITION BY conv_id, turn_idx, sent_idx, split_idx, ext_idx
-                    ORDER BY length(sf) DESC NULLS LAST, sf DESC, cn DESC) AS rk
+                    ORDER BY length(sf) DESC, sf DESC, cn DESC, prefix DESC) AS rk
                 FROM m)
-            SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx,
-                   CASE WHEN sf IS NOT NULL AND length(sf) > 0
-                             AND trim(substr(arg2, 1, length(arg2) - length(sf))) <> ''
-                        THEN rel || ' ' || trim(substr(arg2, 1, length(arg2) - length(sf)))
-                        ELSE rel END AS rel_snapped,
-                   CASE WHEN sf IS NOT NULL AND length(sf) > 0 THEN cn
-                        ELSE arg2 END AS arg2_snapped
-            FROM ranked WHERE rk = 1
+            SELECT t.conv_id, t.turn_idx, t.sent_idx, t.split_idx, t.ext_idx,
+                   CASE WHEN r.sf IS NOT NULL AND r.prefix <> ''
+                        THEN t.rel || ' ' || r.prefix
+                        ELSE t.rel END AS rel_snapped,
+                   CASE WHEN r.sf IS NOT NULL THEN r.cn
+                        ELSE t.arg2 END AS arg2_snapped
+            FROM t LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+              USING (conv_id, turn_idx, sent_idx, split_idx, ext_idx)
         """,
         "e4_binarize": f"""
             WITH t(sent_id, arg1, rel, arg2, extra_args) AS (VALUES {_nary_values()}),

@@ -190,41 +190,91 @@ def per_org_pairs(linked_triples: DataFrame) -> DataFrame:
     )
 
 
-def snap_objects(triples: DataFrame, alias: DataFrame) -> DataFrame:
+def _norm_phrase(col):
+    """Surface normalization for multi-token phrases: lowercase, strip
+    punctuation, collapse/trim whitespace (matches corpus.normalize_surface
+    applied to a token join)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^\w\s]", ""), " +", " "
+        )
+    )
+
+
+def snap_objects(
+    triples: DataFrame, alias: DataFrame, max_surface_tokens: int = 4
+) -> DataFrame:
     """Entity-ending-object rewrite (/root/reference/scripts/baselines.py:50-88):
     when the object ends with a dictionary entity, move the prefix into the
-    relation and snap the object to the entity's canonical name."""
+    relation and snap the object to the entity's canonical name.
+
+    Scale shape: an ``endswith`` theta-join is a BroadcastNestedLoopJoin —
+    O(|triples|·|dict|) comparisons, a scale-killer once the alias dictionary
+    outgrows toy size. Instead the last 1..max_surface_tokens tokens of
+    arg2 explode into normalized candidate suffixes that EQUI-join the
+    dictionary (hashable, broadcastable, salt-able). Matches are therefore
+    token-aligned: a surface can no longer match mid-token ("megacorp" never
+    snaps to "corp"), which is the semantics the reference intends — its
+    dictionary entries are whole entity names. ``max_surface_tokens`` must
+    be ≥ the dictionary's longest surface token count."""
     canon = F.broadcast(
         alias.groupBy("surface_form").agg(
             F.max("canonical_name").alias("canonical_name")
         )
     )
-    obj_norm = F.lower(F.regexp_replace(F.col("arg2"), r"[^\w\s]", ""))
-    joined = triples.join(
+    key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
+    toks = F.filter(F.split(F.col("arg2"), " "), lambda t: t != "")
+    with_toks = triples.select(*key, toks.alias("_toks"))
+    # one candidate row per suffix length j (j capped by the token count;
+    # empty arg2 yields the empty suffix, which the join condition drops)
+    cand = with_toks.select(
+        *key,
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.least(F.lit(max_surface_tokens), F.size("_toks")),
+                    F.lit(1),
+                ),
+            )
+        ).alias("_j"),
+    ).select(
+        *key,
+        _norm_phrase(
+            F.array_join(F.expr("slice(_toks, -_j, _j)"), " ")
+        ).alias("_suffix"),
+        F.trim(
+            F.array_join(F.expr("slice(_toks, 1, size(_toks) - _j)"), " ")
+        ).alias("_prefix"),
+    )
+    matched = cand.join(
         canon,
-        obj_norm.endswith(F.col("surface_form")) & (F.col("surface_form") != ""),
-        "left",
+        (cand["_suffix"] == canon["surface_form"])
+        & (F.col("surface_form") != ""),
+        "inner",
     )
     # keep the longest matching suffix per triple
-    key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
-    best = joined.groupBy(*key).agg(
+    best = matched.groupBy(*key).agg(
         F.max(
-            F.struct(F.length("surface_form").alias("l"), F.col("surface_form"), F.col("canonical_name"))
+            F.struct(
+                F.length("surface_form").alias("l"),
+                F.col("surface_form").alias("sf"),
+                F.col("canonical_name").alias("cn"),
+                F.col("_prefix").alias("p"),
+            )
         ).alias("_m")
-    ).select(*key, F.col("_m.surface_form").alias("_sf"), F.col("_m.canonical_name").alias("_cn"))
-    out = triples.join(best, key, "left")
-    prefix = F.trim(
-        F.expr(
-            "substring(arg2, 1, length(arg2) - length(_sf))"
-        )
     )
-    snapped = (F.col("_sf").isNotNull()) & (F.length("_sf") > 0)
+    out = triples.join(best, key, "left")
+    snapped = F.col("_m").isNotNull()
     return out.select(
         *triples.columns,
-        F.when(snapped & (prefix != ""), F.concat_ws(" ", "rel", prefix))
+        F.when(snapped & (F.col("_m.p") != ""), F.concat_ws(" ", "rel", "_m.p"))
         .otherwise(F.col("rel"))
         .alias("rel_snapped"),
-        F.when(snapped, F.col("_cn")).otherwise(F.col("arg2")).alias("arg2_snapped"),
+        F.when(snapped, F.col("_m.cn")).otherwise(F.col("arg2")).alias(
+            "arg2_snapped"
+        ),
     )
 
 

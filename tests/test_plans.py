@@ -98,3 +98,22 @@ def test_quality_score_is_single_scan(spark):
     plan = plan_of(quality_score(docs))
     assert len(re.findall(r"FileScan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_snap_objects_is_equi_join(spark):
+    """The entity-ending-object rewrite must plan as a hash equi-join on the
+    exploded token suffix, never a BroadcastNestedLoopJoin (the endswith
+    theta-join shape is O(|triples|*|dict|) — a scale-killer with a real
+    alias dictionary)."""
+    from openie_with_entities_spark.corpus import alias_dict
+    from openie_with_entities_spark.linking import snap_objects
+
+    triples = spark.createDataFrame(
+        [("c", 0, 0, 0, 0, "Bob", "joined", "the board of Acme Corp", 0.9)],
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double",
+    )
+    plan = plan_of(snap_objects(triples, alias_dict(spark)))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
