@@ -107,7 +107,7 @@ def coordinations_df(splits_source: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            out = {"sent_key": [], "cc": [], "spans": []}
+            out = {"sent_key": [], "cc": [], "spans": [], "seps": []}
             for key, text in zip(pdf["sent_key"], pdf["text"]):
                 tokens = text.split() + SENTINELS
                 for cc, coord in decode_coordinations(
@@ -120,9 +120,12 @@ def coordinations_df(splits_source: DataFrame) -> DataFrame:
                     out["spans"].append(
                         [{"s": s, "e": e} for (s, e) in coord.spans]
                     )
+                    out["seps"].append(list(coord.seps))
             if out["sent_key"]:  # empty float64 cols can't cast to struct
                 yield pd.DataFrame(out)
 
     return splits_source.mapInPandas(
-        run, schema="sent_key string, cc int, spans array<struct<s:int,e:int>>"
+        run,
+        schema="sent_key string, cc int, spans array<struct<s:int,e:int>>, "
+        "seps array<int>",
     )

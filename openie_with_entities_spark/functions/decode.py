@@ -46,14 +46,26 @@ NO_SPLIT_CCS = ("nor", "&")
 
 @dataclass(frozen=True)
 class Coordination:
-    """A coordination: cc token index + conjunct spans (inclusive)."""
+    """A coordination: cc token index + conjunct spans (inclusive) +
+    separator token indices (label 4, typically commas between conjuncts).
+
+    Parity note: the reference's Coordination carries ``seps``
+    (/root/reference/metric.py:71-95) and its gold label files populate
+    them, but ``get_coords`` collects label-4 indices only to DROP them at
+    construction (/root/reference/metric.py:221,235-241 — ``seps`` never
+    passed). We keep what the decoder collected, which matches the class's
+    intended gold-file semantics; equality/matching ignores seps in both
+    engines (reference __eq__, metric.py:114-120), so eval results are
+    unaffected."""
 
     cc: int
     spans: tuple[tuple[int, int], ...]
     depth: int = 0
+    seps: tuple[int, ...] = ()
 
     def __post_init__(self):
         object.__setattr__(self, "spans", tuple(sorted(self.spans)))
+        object.__setattr__(self, "seps", tuple(self.seps))
 
 
 def normalize_quotes(s: str) -> str:
@@ -90,21 +102,25 @@ def decode_coordinations(label_matrix: list[list[int]]) -> dict[int, Coordinatio
                 spans = phrase["spans"]
                 if len(spans) >= 2 and spans[0][1] < phrase["cc"] < spans[-1][0]:
                     coords[phrase["cc"]] = Coordination(
-                        phrase["cc"], tuple(spans), depth
+                        phrase["cc"], tuple(spans), depth, tuple(phrase["seps"])
                     )
                 phrase = None
             if lab == 1:
                 if not open_span:
                     open_span, span_start = True, i
             elif lab == 2:
-                phrase = {"cc": -1, "spans": []}
+                phrase = {"cc": -1, "spans": [], "seps": []}
                 open_span, span_start = True, i
             elif lab == 3:
                 if phrase is not None:
                     phrase["cc"] = i
                 else:
                     coords[i] = None
-            # lab 4 (separator) and 5 (others) carry no span state we need.
+            elif lab == 4 and phrase is not None:
+                # separator (comma between conjuncts) — collected exactly as
+                # the reference's cp['seps'] (/root/reference/metric.py:241)
+                phrase["seps"].append(i)
+            # lab 5 (others) carries no span state we need.
     return coords
 
 

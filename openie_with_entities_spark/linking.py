@@ -278,16 +278,66 @@ def snap_objects(
     )
 
 
-def violation_counters(linked_triples: DataFrame) -> DataFrame:
+def _rel_contains_surface(
+    triples: DataFrame, alias: DataFrame, max_surface_tokens: int = 4
+):
+    """Per-triple c3 flag: TRUE when any normalized 1..max_surface_tokens
+    token n-gram of the relation equals a dictionary surface form — the
+    dictionary proxy for the reference's 'NER finds an entity inside the
+    predicate' check (/root/reference/scripts/violations.py:56-60).
+    Candidate n-grams equi-join the broadcast surface set (same scale shape
+    as snap_objects: hashable, never a contains() theta-join)."""
+    key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
+    toks = F.filter(F.split(F.col("rel"), " "), lambda x: x != "")
+    grams = (
+        triples.select(*key, toks.alias("_tk"))
+        .select(*key, "_tk", F.posexplode("_tk").alias("_i", "_tok"))
+        .select(
+            *key,
+            F.explode(
+                F.array(
+                    *[
+                        _norm_phrase(
+                            F.array_join(
+                                F.expr(f"slice(_tk, _i + 1, {j})"), " "
+                            )
+                        )
+                        for j in range(1, max_surface_tokens + 1)
+                    ]
+                )
+            ).alias("_gram"),
+        )
+    )
+    surfaces = F.broadcast(
+        alias.select("surface_form").where(F.col("surface_form") != "").distinct()
+    )
+    return (
+        grams.join(surfaces, grams["_gram"] == surfaces["surface_form"], "left_semi")
+        .select(*key)
+        .distinct()
+        .withColumn("_c3", F.lit(1))
+    )
+
+
+def violation_counters(
+    linked_triples: DataFrame, alias: DataFrame | None = None
+) -> DataFrame:
     """Constraint-violation counters c1–c4
     (/root/reference/scripts/violations.py:48-110) as one aggregate over the
     linked triples — the pipeline's quality metrics (north-rule counters):
       c1: extraction has no entity in either argument
       c2: an argument contains more than one entity mention
-      c3: (proxy) relation text contains a dictionary entity surface
+      c3: relation text contains a dictionary entity surface (computed when
+          the alias dictionary is supplied; NULL otherwise)
       c4: an entity is split across arguments — here: both args link to the
           same entity_id."""
     t = linked_triples
+    if alias is not None:
+        key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
+        t = t.join(_rel_contains_surface(t, alias), key, "left")
+        c3 = F.sum(F.when(F.col("_c3").isNotNull(), 1).otherwise(0))
+    else:
+        c3 = F.max(F.lit(None).cast("long"))
     return t.agg(
         F.count("*").alias("n_extractions"),
         F.sum(
@@ -302,6 +352,7 @@ def violation_counters(linked_triples: DataFrame) -> DataFrame:
                 | (F.coalesce("arg2_n_mentions", F.lit(0)) > 1)
             ).cast("long")
         ).alias("c2_multi_entity_arg"),
+        c3.alias("c3_entity_in_relation"),
         F.sum(
             (
                 F.col("arg1_entity_id").isNotNull()

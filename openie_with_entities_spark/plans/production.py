@@ -118,7 +118,7 @@ def run_production(
             ),
         )
 
-    violations = violation_counters(triples).withColumn(
+    violations = violation_counters(triples, alias).withColumn(
         "stage", F.lit("link")
     )
     metrics_path = os.path.join(out_dir, "metrics")

@@ -179,3 +179,23 @@ class TestRelCases:
         rows, confs = oie_label_matrix(tokens)
         exts = decode_extractions(rows, tokens, confs)
         assert exts[0][:3] == ("Ada", "is director", "")
+
+
+def test_coordination_seps_collected():
+    """Label-4 separators land in Coordination.seps (the reference collects
+    them at metric.py:241; its gold files populate them) without affecting
+    equality/matching or splitting."""
+    from openie_with_entities_spark.functions.decode import (
+        decode_coordinations,
+        split_by_coordinations,
+    )
+
+    # "A , B and C went"  → spans (0,0),(2,2),(4,4), cc=3, sep at 1
+    labels = [[2, 4, 1, 3, 1, 0]]
+    coords = decode_coordinations(labels)
+    assert list(coords) == [3]
+    assert coords[3].seps == (1,)
+    assert coords[3].spans == ((0, 0), (2, 2), (4, 4))
+    words = ["A", ",", "B", "and", "C", "went"]
+    texts, _, _ = split_by_coordinations(coords, words)
+    assert sorted(texts) == ["A went", "B went", "C went"]

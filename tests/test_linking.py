@@ -201,3 +201,31 @@ def test_connected_components_at_scale(spark):
     ).count()
     assert bad == 0
     assert wall < 120, f"CC too slow: {wall:.1f}s"
+
+
+def test_c3_entity_in_relation(spark, aliases):
+    """c3 (/root/reference/scripts/violations.py:56-60): a dictionary
+    surface inside the RELATION text is a violation; counted only when the
+    dictionary is supplied."""
+    rows = [
+        # "acme corp" (2-gram) hides inside the relation → c3
+        ("c", 0, 0, 0, 0, "Bob", "joined Acme Corp as", "advisor", 0.9,
+         None, None, None, None, None, None),
+        # "turing" (1-token alias) inside the relation → c3
+        ("c", 0, 1, 0, 0, "Eve", "met Turing at", "the lab", 0.8,
+         None, None, None, None, None, None),
+        # clean relation → no violation
+        ("c", 0, 2, 0, 0, "Eve", "visited", "Paris", 0.7,
+         None, None, None, None, None, None),
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double, "
+        "arg1_entity_id string, arg1_ner_type string, arg1_n_mentions long, "
+        "arg2_entity_id string, arg2_ner_type string, arg2_n_mentions long"
+    )
+    t = spark.createDataFrame(rows, ddl)
+    v = violation_counters(t, aliases).collect()[0]
+    assert v.c3_entity_in_relation == 2
+    # without the dictionary the counter is NULL, not silently zero
+    assert violation_counters(t).collect()[0].c3_entity_in_relation is None
