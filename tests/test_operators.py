@@ -173,7 +173,7 @@ def test_neural_backend_gates_cleanly():
     if neural.HAS_TORCH:
         pytest.skip("torch present; gate not applicable")
     with pytest.raises(NotImplementedError):
-        neural.get_model(neural.NeuralConfig("missing.ckpt"))
+        neural.load_backend(neural.NeuralConfig("missing.ckpt"))
 
 
 def test_neardedup_triples(spark):
