@@ -449,7 +449,9 @@ def _media_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from openie_with_entities_spark.contracts import extra_queries
+
+    base = {
         "q1_pricing_summary": _q1_pricing_summary,
         "a2_keepfirst": _a2_keepfirst,
         "a4_topk_orders": _a4_topk_orders,
@@ -484,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "media_features": _media_features,
     }
+    base.update(extra_queries())
+    return base
 
 
 # --------------------------------------------------------------------------
@@ -546,7 +550,9 @@ sh AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from openie_with_entities_spark.contracts import extra_oracles
+
+    base = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -839,3 +845,5 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) WHERE rk <= 10
         """,
     }
+    base.update(extra_oracles())
+    return base

@@ -20,7 +20,9 @@ import os
 import sys
 import time
 
-N_CONVS_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "48000"))
+# default = the BASELINE.md scaling corpus (96k convs = 624k turns) so the
+# headline turns/sec is directly comparable to the recorded baseline points
+N_CONVS_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "96000"))
 
 
 def _fresh_spark(cores: int):
@@ -43,7 +45,7 @@ def run_kg_pipeline(spark, n_convs: int) -> tuple[float, int]:
     transcripts = generate_transcripts(spark, n_convs).cache()
     n_turns = transcripts.count()  # materialize input before timing
     times = []
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))  # median-of-n
     for _ in range(runs):  # median: this VM is noisy, min favors flukes
         t0 = time.monotonic()
         linked = build_kg_fused(transcripts, alias_dict(spark))
@@ -75,6 +77,7 @@ def bench_once(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
             "kg_pipeline_sec": round(kg_sec, 3),
             "n_turns": n_turns,
             "turns_per_sec": round(n_turns / kg_sec, 1),
+            "timed_runs": int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")),
         }
         if include_queries:
             result["queries"] = run_operator_queries(spark, sf_dir)
@@ -163,6 +166,7 @@ def main() -> None:
             "sf": sf,
             "n_turns": r["n_turns"],
             "cores": r["cores"],
+            "timed_runs": r["timed_runs"],
         }
     print(json.dumps(payload))
 

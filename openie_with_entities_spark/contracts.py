@@ -1,0 +1,1081 @@
+"""Driver-contract entries for the SURVEY §2 operators that round 1 covered
+only in pytest — merged into ``__spark_entry__.queries()/oracle_sql()``.
+
+Every entry returns SCALAR-ONLY columns (the driver's canonicalizer sorts
+all output columns in pandas; array cells are unhashable) and pairs with a
+DuckDB oracle:
+
+  * native twins — the Spark query and the SQL independently express the
+    operator's semantics (strongest cross-engine check);
+  * VALUES oracles — for decode state machines / greedy matchers whose
+    semantics are not reasonably SQL-expressible, the oracle holds expected
+    outputs hand-derived from the reference's semantics (the driver then
+    proves the engine reproduces them bit-for-bit every round, under any
+    partitioning).
+
+File-scan operators (S2/S3/S4) read checked-in ``fixtures/`` files.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+# --------------------------------------------------------------------------
+# S2/S3/S4 — file scans over checked-in fixtures
+# --------------------------------------------------------------------------
+
+
+def q_s2_labels_scan(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import read_labels_file
+
+    df = read_labels_file(spark, os.path.join(FIXTURE_DIR, "train.labels"))
+    return df.select(
+        "sentence", "depth", F.array_join("labels", " ").alias("label_str")
+    )
+
+
+O_S2 = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme', 0, 'ARG1 REL ARG2'),
+        ('Ada founded Acme', 1, 'NONE REL ARG2'),
+        ('Eve visited sunny Paris', 0, 'ARG1 REL ARG2 ARG2')
+    ) AS t(sentence, depth, label_str)
+"""
+
+
+def q_s3_conj_scan(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import read_conj_blocks
+
+    return read_conj_blocks(spark, os.path.join(FIXTURE_DIR, "conj.txt"))
+
+
+O_S3 = """
+    SELECT * FROM (VALUES
+        ('Ada and Bob founded Acme', 0, 'Ada founded Acme'),
+        ('Ada and Bob founded Acme', 1, 'Bob founded Acme'),
+        ('Eve slept', 0, 'Eve slept')
+    ) AS t(orig_sentence, split_idx, split_sentence)
+"""
+
+
+def q_s4_gold_scan(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import read_gold_tsv
+
+    df = read_gold_tsv(spark, os.path.join(FIXTURE_DIR, "gold.tsv"))
+    return df.select(
+        "sentence", "rel", "arg1", "arg2",
+        F.size("extra_args").alias("n_extra"), "confidence",
+    )
+
+
+O_S4 = """
+    SELECT * FROM (VALUES
+        ('the cat sat on the mat', 'sat', 'the cat', 'on the mat', 0, 1.0),
+        ('he asked Graner for the time', 'asked', 'he', 'Graner', 1, 1.0),
+        ('all context here', 'has', '', '', 0, 1.0)
+    ) AS t(sentence, rel, arg1, arg2, n_extra, confidence)
+"""
+
+
+# --------------------------------------------------------------------------
+# S7 — .allennlp sink (tagged line format)
+# --------------------------------------------------------------------------
+
+
+def q_s7_allennlp_lines(spark, sf_dir):
+    from __spark_entry__ import _TRIPLES_DDL, _TRIPLES_FIXTURE
+
+    from openie_with_entities_spark.sources.formats import to_allennlp_lines
+
+    t = spark.createDataFrame(_TRIPLES_FIXTURE, _TRIPLES_DDL).withColumn(
+        "sentence", F.concat_ws("|", "conv_id", "turn_idx", "sent_idx")
+    )
+    return to_allennlp_lines(t)
+
+
+def o_s7() -> str:
+    from __spark_entry__ import _triples_values
+
+    return f"""
+        WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+               arg1, rel, arg2, confidence) AS (VALUES {_triples_values()})
+        SELECT printf('%s\t<arg1> %s </arg1> <rel> %s </rel> <arg2> %s </arg2>\t%s',
+                      conv_id || '|' || CAST(turn_idx AS VARCHAR)
+                              || '|' || CAST(sent_idx AS VARCHAR),
+                      arg1, rel, arg2, CAST(confidence AS VARCHAR)) AS value
+        FROM t
+    """
+
+
+# --------------------------------------------------------------------------
+# P2/P3 — sentinel append, tokenize + eligibility guard
+# --------------------------------------------------------------------------
+
+
+def q_p2_sentinel_append(spark, sf_dir):
+    from openie_with_entities_spark.functions.decode import SENTINEL_SUFFIX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.concat("text", F.lit(SENTINEL_SUFFIX)).alias("text_s")
+    )
+
+
+O_P2 = """
+    SELECT doc_id, text || ' [unused1] [unused2] [unused3]' AS text_s
+    FROM documents
+"""
+
+
+def q_p3_tokenize_guard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return docs.select(
+        "doc_id", n.alias("n_tokens"), (n <= 97).alias("eligible")
+    )
+
+
+O_P3 = """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) <= 97 AS eligible
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# P4 — wordpiece encode + word_starts alignment (neural ingest math)
+# --------------------------------------------------------------------------
+
+_P4_SENTS = [
+    (0, "Ada founded Acme ."),
+    (1, "a extraordinarily long multiword sentence indeed"),
+    (2, "x"),
+]
+
+
+def q_p4_wordpiece_align(spark, sf_dir):
+    """Drives extract.neural.encode_sentence with the contract tokenizer
+    (one wordpiece per 4 chars) so the bos/eos + word_starts arithmetic is
+    cross-checked against the SQL twin."""
+    from openie_with_entities_spark.extract.neural import (
+        NeuralConfig,
+        encode_sentence,
+    )
+
+    cfg = NeuralConfig("unused.ckpt")
+
+    def tokenize_word(w: str) -> list[int]:
+        return [0] * ((len(w) + 3) // 4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, text in zip(pdf["sent_id"], pdf["sentence"]):
+                e = encode_sentence(text, tokenize_word, cfg)
+                rows.append(
+                    {
+                        "sent_id": int(sid),
+                        "n_words": len(e.words),
+                        "n_pieces": len(e.input_ids),
+                        "word_starts_str": ",".join(
+                            str(s) for s in e.word_starts
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    src = spark.createDataFrame(_P4_SENTS, "sent_id int, sentence string")
+    return src.mapInPandas(
+        run, "sent_id int, n_words long, n_pieces long, word_starts_str string"
+    )
+
+
+def o_p4() -> str:
+    values = ", ".join(f"({i}, '{s}')" for i, s in _P4_SENTS)
+    return f"""
+        WITH s(sent_id, sentence) AS (VALUES {values}),
+        w AS (
+            SELECT sent_id, unnest(string_split(sentence, ' ')) AS word,
+                   generate_subscripts(string_split(sentence, ' '), 1) AS i
+            FROM s),
+        p AS (SELECT *, CAST(ceil(length(word) / 4.0) AS BIGINT) AS np FROM w),
+        c AS (
+            SELECT *, 1 + coalesce(sum(np) OVER (
+                PARTITION BY sent_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ws
+            FROM p)
+        SELECT sent_id, count(*) AS n_words,
+               CAST(2 + sum(np) AS BIGINT) AS n_pieces,
+               string_agg(CAST(ws AS VARCHAR), ',' ORDER BY i) AS word_starts_str
+        FROM c GROUP BY sent_id
+    """
+
+
+# --------------------------------------------------------------------------
+# P6 — head-verb mask (verb lexicon + -ed heuristic)
+# --------------------------------------------------------------------------
+
+_P6_SENTS = [
+    (0, "Ada founded Acme ."),
+    (1, "Bob reorganized and praised Initech"),
+    (2, "Fred said nothing was Ed"),
+]
+
+
+def q_p6_verb_mask(spark, sf_dir):
+    from openie_with_entities_spark.extract.labeler import VERB_LEXICON
+
+    src = spark.createDataFrame(_P6_SENTS, "sent_id int, sentence string")
+    lex = F.array(*[F.lit(w) for w in sorted(VERB_LEXICON)])
+    toks = src.select(
+        "sent_id", F.posexplode(F.split("sentence", " ")).alias("pos", "token")
+    )
+    is_verb = F.array_contains(lex, F.col("token")) | (
+        F.col("token").endswith("ed")
+        & (F.length("token") > 4)
+        & F.substring("token", 1, 1).rlike("[a-z]")
+    )
+    return toks.select(
+        "sent_id", "pos", "token", is_verb.cast("int").alias("is_verb")
+    )
+
+
+def o_p6() -> str:
+    from openie_with_entities_spark.extract.labeler import VERB_LEXICON
+
+    values = ", ".join(f"({i}, '{s}')" for i, s in _P6_SENTS)
+    lex = "[" + ", ".join(f"'{w}'" for w in sorted(VERB_LEXICON)) + "]"
+    return f"""
+        WITH s(sent_id, sentence) AS (VALUES {values}),
+        t AS (
+            SELECT sent_id,
+                   generate_subscripts(string_split(sentence, ' '), 1) - 1 AS pos,
+                   unnest(string_split(sentence, ' ')) AS token
+            FROM s)
+        SELECT sent_id, CAST(pos AS INT) AS pos, token,
+               CAST(list_contains({lex}, token)
+                    OR (token LIKE '%ed' AND length(token) > 4
+                        AND substring(token, 1, 1) BETWEEN 'a' AND 'z')
+                    AS INT) AS is_verb
+        FROM t
+    """
+
+
+# --------------------------------------------------------------------------
+# P8/P9/P10 — mention detection (capitalized runs, word-indexed spans)
+# --------------------------------------------------------------------------
+
+
+def q_p8_detect_mentions(spark, sf_dir):
+    from __spark_entry__ import _TRIPLES_DDL, _TRIPLES_FIXTURE
+
+    from openie_with_entities_spark.extract.mentions import detect_mentions
+
+    t = spark.createDataFrame(_TRIPLES_FIXTURE, _TRIPLES_DDL)
+    return detect_mentions(t)
+
+
+def o_p8() -> str:
+    from __spark_entry__ import _triples_values
+
+    # gaps-and-islands over capitalized tokens = the maximal-run detector
+    return f"""
+        WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+               arg1, rel, arg2, confidence) AS (VALUES {_triples_values()}),
+        args AS (
+            SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+                   1 AS arg_pos, arg1 AS txt FROM t
+            UNION ALL
+            SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+                   2 AS arg_pos, arg2 AS txt FROM t),
+        toks AS (
+            SELECT *, unnest(string_split(txt, ' ')) AS token,
+                   generate_subscripts(string_split(txt, ' '), 1) - 1 AS pos
+            FROM args),
+        caps AS (
+            SELECT *, substring(token, 1, 1) BETWEEN 'A' AND 'Z'
+                      AND NOT list_contains(
+                          ['.', ',', '!', '?', ';', ':', '''''', '''',
+                           '``', '(', ')'], token) AS cap
+            FROM toks),
+        isl AS (
+            SELECT *, pos - row_number() OVER (
+                PARTITION BY conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+                             arg_pos, cap ORDER BY pos) AS grp
+            FROM caps WHERE cap)
+        SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx, arg_pos,
+               string_agg(token, ' ' ORDER BY pos) AS mention,
+               trim(regexp_replace(lower(string_agg(token, ' ' ORDER BY pos)),
+                    '[^\\w\\s]', '', 'g')) AS surface_norm,
+               CAST(min(pos) AS INT) AS begin_word,
+               CAST(max(pos) AS INT) AS end_word
+        FROM isl
+        GROUP BY conv_id, turn_idx, sent_idx, split_idx, ext_idx, arg_pos, grp
+    """
+
+
+_P10_FIXTURE = [
+    (0, "Ada founded Acme Corp", 0),
+    (1, "Ada founded Acme Corp", 4),
+    (2, "Ada founded Acme Corp", 12),
+    (3, "Ada founded Acme Corp", 17),
+    (4, "a bb ccc", 2),
+]
+
+
+def q_p10_char_to_word(spark, sf_dir):
+    src = spark.createDataFrame(
+        _P10_FIXTURE, "case_id int, sentence string, char_off int"
+    )
+    toks = src.select(
+        "case_id", "char_off",
+        F.posexplode(F.split("sentence", " ")).alias("pos", "token"),
+    )
+    w = (
+        Window.partitionBy("case_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = toks.withColumn(
+        "start", F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0))
+    )
+    return (
+        starts.where(F.col("start") <= F.col("char_off"))
+        .groupBy("case_id")
+        .agg(F.max("pos").alias("word_idx"))
+    )
+
+
+def o_p10() -> str:
+    values = ", ".join(f"({c}, '{s}', {o})" for c, s, o in _P10_FIXTURE)
+    return f"""
+        WITH s(case_id, sentence, char_off) AS (VALUES {values}),
+        t AS (
+            SELECT case_id, char_off,
+                   unnest(string_split(sentence, ' ')) AS token,
+                   generate_subscripts(string_split(sentence, ' '), 1) - 1 AS pos
+            FROM s),
+        st AS (
+            SELECT *, coalesce(sum(length(token) + 1) OVER (
+                PARTITION BY case_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+            FROM t)
+        SELECT case_id, CAST(max(pos) AS INT) AS word_idx
+        FROM st WHERE start <= char_off GROUP BY case_id
+    """
+
+
+# --------------------------------------------------------------------------
+# P12 — triple decode (label row → arg1/rel/arg2 incl. rel_case + loc fold)
+# --------------------------------------------------------------------------
+
+_P12_FIXTURE = [
+    # (ex_id, tokens, labels) — sentinels carry rel_case on label 2
+    (0, ["Ada", "founded", "Acme", ".", "[unused1]", "[unused2]", "[unused3]"],
+     [1, 2, 3, 0, 0, 0, 0]),
+    (1, ["Ada", "chairman", "of", "Acme", "[unused1]", "[unused2]", "[unused3]"],
+     [1, 2, 0, 3, 0, 2, 0]),
+    (2, ["Bob", "advisor", "from", "Oslo", "[unused1]", "[unused2]", "[unused3]"],
+     [1, 2, 0, 3, 0, 0, 2]),
+    (3, ["Eve", "visited", "Acme", "in", "Paris", "[unused1]", "[unused2]", "[unused3]"],
+     [1, 2, 3, 4, 4, 0, 0]),
+    (4, ["Eve", "a", "founder", "[unused1]", "[unused2]", "[unused3]"],
+     [1, 0, 2, 2, 0, 0]),
+]
+
+
+def q_p12_decode_triple(spark, sf_dir):
+    from openie_with_entities_spark.functions.decode import decode_triple
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ex_id, toks, labs in zip(
+                pdf["ex_id"], pdf["tokens"], pdf["labels"]
+            ):
+                a1, r, a2 = decode_triple(list(labs), list(toks))
+                rows.append(
+                    {"ex_id": int(ex_id), "arg1": a1, "rel": r, "arg2": a2}
+                )
+            yield pd.DataFrame(rows)
+
+    src = spark.createDataFrame(
+        _P12_FIXTURE, "ex_id int, tokens array<string>, labels array<int>"
+    )
+    return src.mapInPandas(
+        run, "ex_id int, arg1 string, rel string, arg2 string"
+    )
+
+
+def o_p12() -> str:
+    def arr(xs):
+        return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+    values = ", ".join(
+        f"({i}, {arr(t)}, {list(l)})" for i, t, l in _P12_FIXTURE
+    )
+    # the SQL twin of decode_triple (/root/reference/model.py:554-593):
+    # sentinels contribute no text; a REL label on [unusedK] sets rel_case K;
+    # LOC/TIME tokens fold into arg2
+    return f"""
+        WITH t(ex_id, tokens, labels) AS (VALUES {values}),
+        p AS (
+            SELECT ex_id, unnest(tokens) AS token,
+                   generate_subscripts(tokens, 1) AS i
+            FROM t),
+        pl AS (
+            SELECT p.ex_id, p.token, p.i, t.labels[p.i] AS label,
+                   p.token LIKE '[unused%' AS sentinel
+            FROM p JOIN t ON t.ex_id = p.ex_id),
+        agg AS (
+            SELECT ex_id,
+                   coalesce(string_agg(CASE WHEN label = 1 AND NOT sentinel
+                                       THEN token END, ' ' ORDER BY i), '') AS arg1,
+                   coalesce(string_agg(CASE WHEN label = 2 AND NOT sentinel
+                                       THEN token END, ' ' ORDER BY i), '') AS rel_core,
+                   coalesce(string_agg(CASE WHEN label = 3 AND NOT sentinel
+                                       THEN token END, ' ' ORDER BY i), '') AS arg2_core,
+                   coalesce(string_agg(CASE WHEN label = 4 AND NOT sentinel
+                                       THEN token END, ' ' ORDER BY i), '') AS loc_time,
+                   coalesce(max(CASE WHEN sentinel AND label = 2 THEN
+                       CAST(substring(token, 8, 1) AS INT) END), 0) AS rel_case
+            FROM pl GROUP BY ex_id)
+        SELECT ex_id, arg1,
+               CASE rel_case
+                    WHEN 1 THEN 'is ' || rel_core
+                    WHEN 2 THEN 'is ' || rel_core || ' of'
+                    WHEN 3 THEN 'is ' || rel_core || ' from'
+                    ELSE rel_core END AS rel,
+               trim(arg2_core || ' ' || loc_time) AS arg2
+        FROM agg
+    """
+
+
+# --------------------------------------------------------------------------
+# M2 — coordination decode (state machine; VALUES oracle, hand-derived)
+# --------------------------------------------------------------------------
+
+_M2_FIXTURE = [
+    (0, [[2, 4, 1, 3, 1, 0]]),            # A , B and C <end>
+    (1, [[0, 3, 0]]),                      # dangling cc, no phrase
+    (2, [[2, 1, 3, 1, 0, 2, 1, 3, 1, 0]]),  # two coordinations in one depth
+    (3, [[2, 4, 1, 3, 1, 0], [2, 1, 1, 3, 1, 1]]),  # depth-1 phrase unclosed
+]
+
+
+def q_m2_decode_coords(spark, sf_dir):
+    from openie_with_entities_spark.functions.decode import decode_coordinations
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, matrix in zip(pdf["case_id"], pdf["matrix"]):
+                for cc, coord in decode_coordinations(
+                    [list(r) for r in matrix]
+                ).items():
+                    rows.append(
+                        {
+                            "case_id": int(cid),
+                            "cc": cc,
+                            "dangling": coord is None,
+                            "spans_str": "" if coord is None else ",".join(
+                                f"{s}-{e}" for (s, e) in coord.spans
+                            ),
+                            "seps_str": "" if coord is None else ",".join(
+                                str(s) for s in coord.seps
+                            ),
+                            "depth": -1 if coord is None else coord.depth,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "case_id", "cc", "dangling", "spans_str", "seps_str",
+                    "depth",
+                ],
+            )
+
+    src = spark.createDataFrame(
+        [(i, m) for i, m in _M2_FIXTURE],
+        "case_id int, matrix array<array<int>>",
+    )
+    return src.mapInPandas(
+        run,
+        "case_id int, cc int, dangling boolean, spans_str string, "
+        "seps_str string, depth int",
+    )
+
+
+O_M2 = """
+    SELECT * FROM (VALUES
+        (0, 3, false, '0-0,2-2,4-4', '1', 0),
+        (1, 1, true,  '', '', -1),
+        (2, 2, false, '0-1,3-3', '', 0),
+        (2, 7, false, '5-6,8-8', '', 0),
+        (3, 3, false, '0-0,2-2,4-4', '1', 0)
+    ) AS t(case_id, cc, dangling, spans_str, seps_str, depth)
+"""
+
+
+# --------------------------------------------------------------------------
+# M1+M3 — conj stage → split sentences (VALUES oracle from the sequential
+# splitter semantics: nor/& no-split, unbreakable window, BFS levels)
+# --------------------------------------------------------------------------
+
+_M3_SENTS = [
+    ("c0", 0, 0, "Ada , Bob and Carl visited Paris ."),
+    ("c0", 0, 1, "Acme and Globex hired Eve ."),
+    ("c0", 1, 0, "Eve nor Bob slept ."),
+    ("c0", 1, 1, "the distance between Paris and Berlin increased ."),
+    ("c0", 2, 0, "Eve slept ."),
+]
+
+
+def _m3_sentences(spark):
+    return spark.createDataFrame(
+        [(c, t, s, txt, True) for (c, t, s, txt) in _M3_SENTS],
+        "conv_id string, turn_idx int, sent_idx int, text string, "
+        "eligible boolean",
+    )
+
+
+def q_m3_conj_split(spark, sf_dir):
+    from openie_with_entities_spark.extract.stages import conj_split_stage
+
+    out = conj_split_stage(_m3_sentences(spark), partitions=4)
+    return out.select(
+        "conv_id", "turn_idx", "sent_idx", "split_idx", "n_splits",
+        "split_text",
+    )
+
+
+O_M3 = """
+    SELECT * FROM (VALUES
+        ('c0', 0, 0, 0, 3, 'Ada visited Paris .'),
+        ('c0', 0, 0, 1, 3, 'Bob visited Paris .'),
+        ('c0', 0, 0, 2, 3, 'Carl visited Paris .'),
+        ('c0', 0, 1, 0, 2, 'Acme hired Eve .'),
+        ('c0', 0, 1, 1, 2, 'Globex hired Eve .'),
+        ('c0', 1, 0, 0, 1, 'Eve nor Bob slept .'),
+        ('c0', 1, 1, 0, 1, 'the distance between Paris and Berlin increased .'),
+        ('c0', 2, 0, 0, 1, 'Eve slept .')
+    ) AS t(conv_id, turn_idx, sent_idx, split_idx, n_splits, split_text)
+"""
+
+
+def q_a11_split_conservation(spark, sf_dir):
+    """Split-count conservation (/root/reference/run.py:198-204): per input
+    sentence, the split table's row count equals its declared n_splits."""
+    from openie_with_entities_spark.extract.stages import conj_split_stage
+
+    out = conj_split_stage(_m3_sentences(spark), partitions=4)
+    per = out.groupBy("conv_id", "turn_idx", "sent_idx").agg(
+        F.count("*").alias("n_rows"), F.first("n_splits").alias("declared")
+    )
+    return per.agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_rows").alias("n_splits_total"),
+        F.sum((F.col("n_rows") != F.col("declared")).cast("long")).alias(
+            "n_violations"
+        ),
+    )
+
+
+O_A11 = """
+    SELECT CAST(5 AS BIGINT) AS n_sentences,
+           CAST(8 AS BIGINT) AS n_splits_total,
+           CAST(0 AS BIGINT) AS n_violations
+"""
+
+
+# --------------------------------------------------------------------------
+# M4 — OIE stage over split sentences (native SQL twin of the deterministic
+# labeler + decode for single/multi-verb SVO shapes)
+# --------------------------------------------------------------------------
+
+_M4_SPLITS = [
+    ("c0", 0, 0, 0, "Ada founded Acme ."),
+    ("c0", 0, 1, 0, "Eve visited Globex in Paris ."),
+    ("c0", 1, 0, 0, "Bob praised Initech yesterday evening ."),
+    ("c0", 1, 0, 1, "the report was finished ."),
+]
+
+
+def q_m4_oie_stage(spark, sf_dir):
+    from openie_with_entities_spark.extract.stages import oie_stage
+
+    splits = spark.createDataFrame(
+        _M4_SPLITS,
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "split_text string",
+    )
+    return oie_stage(splits, partitions=4)
+
+
+def o_m4() -> str:
+    from openie_with_entities_spark.extract.labeler import VERB_LEXICON
+
+    values = ", ".join(
+        f"('{c}', {t}, {s}, {sp}, '{txt}')" for c, t, s, sp, txt in _M4_SPLITS
+    )
+    lex = "[" + ", ".join(f"'{w}'" for w in sorted(VERB_LEXICON)) + "]"
+    # the labeler's depth-d extraction: d-th lexicon verb v → arg1 = non-punct
+    # tokens before v, rel = v, arg2 = non-punct tokens after v (LOC/TIME
+    # folds back); confidence = round(max(0.05, .99-.12d-.01(len%7)), 2)
+    return f"""
+        WITH sp(conv_id, turn_idx, sent_idx, split_idx, split_text)
+             AS (VALUES {values}),
+        tok AS (
+            SELECT sp.*, unnest(string_split(split_text, ' ')) AS token,
+                   generate_subscripts(string_split(split_text, ' '), 1) AS i,
+                   len(string_split(split_text, ' ')) AS core_len
+            FROM sp),
+        verbs AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx, sent_idx, split_idx
+                ORDER BY i) - 1 AS depth
+            FROM tok WHERE list_contains({lex}, token)),
+        exts AS (
+            SELECT v.conv_id, v.turn_idx, v.sent_idx, v.split_idx, v.depth,
+                   v.core_len, v.token AS rel,
+                   coalesce(string_agg(CASE WHEN t.i < v.i AND t.token <> '.'
+                            THEN t.token END, ' ' ORDER BY t.i), '') AS arg1,
+                   coalesce(string_agg(CASE WHEN t.i > v.i AND t.token <> '.'
+                            THEN t.token END, ' ' ORDER BY t.i), '') AS arg2
+            FROM verbs v JOIN tok t USING (conv_id, turn_idx, sent_idx, split_idx)
+            GROUP BY ALL)
+        SELECT conv_id, turn_idx, sent_idx, split_idx,
+               CAST(row_number() OVER (
+                   PARTITION BY conv_id, turn_idx, sent_idx, split_idx
+                   ORDER BY depth) - 1 AS INT) AS ext_idx,
+               arg1, rel, arg2,
+               round(greatest(0.05, 0.99 - 0.12 * depth
+                              - 0.01 * (core_len % 7)), 2) AS confidence
+        FROM exts
+        WHERE arg1 <> '' AND depth < 5
+    """
+
+
+# --------------------------------------------------------------------------
+# A1 — group extractions under the original sentence
+# --------------------------------------------------------------------------
+
+
+def q_a1_group_by_sentence(spark, sf_dir):
+    from __spark_entry__ import _TRIPLES_DDL, _TRIPLES_FIXTURE
+
+    t = spark.createDataFrame(_TRIPLES_FIXTURE, _TRIPLES_DDL)
+    line = F.format_string(
+        "%.2f: (%s; %s; %s)", F.col("confidence"),
+        F.col("arg1"), F.col("rel"), F.col("arg2"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("split_idx", "ext_idx", line.alias("line")))
+    )
+    return t.groupBy("conv_id", "turn_idx", "sent_idx").agg(
+        F.count("*").alias("n_extractions"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["line"]), " | "
+        ).alias("extractions"),
+    )
+
+
+def o_a1() -> str:
+    from __spark_entry__ import _triples_values
+
+    return f"""
+        WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+               arg1, rel, arg2, confidence) AS (VALUES {_triples_values()})
+        SELECT conv_id, turn_idx, sent_idx, count(*) AS n_extractions,
+               string_agg(printf('%.2f: (%s; %s; %s)',
+                                 confidence, arg1, rel, arg2),
+                          ' | ' ORDER BY split_idx, ext_idx) AS extractions
+        FROM t GROUP BY conv_id, turn_idx, sent_idx
+    """
+
+
+# --------------------------------------------------------------------------
+# A5 — violation counters c1–c4 over a linked fixture
+# --------------------------------------------------------------------------
+
+_A5_FIXTURE = [
+    # keys..., arg1, rel, arg2, conf, e1, t1, n1, e2, t2, n2
+    ("c", 0, 0, 0, 0, "Bob", "joined Acme Corp as", "advisor", 0.9,
+     None, None, 0, None, None, 0),                      # c1 + c3
+    ("c", 0, 1, 0, 0, "Ada Lovelace", "founded", "Acme Corp", 0.9,
+     "E0000", "PER", 1, "E0012", "ORG", 1),              # clean
+    ("c", 0, 2, 0, 0, "Alan", "met", "Turing", 0.8,
+     "E0001", "PER", 1, "E0001", "PER", 1),              # c4 (same entity)
+    ("c", 0, 3, 0, 0, "Ada and Grace", "visited", "Paris", 0.7,
+     "E0000", "PER", 2, "E0022", "LOC", 1),              # c2 (2 mentions)
+]
+
+_A5_DDL = (
+    "conv_id string, turn_idx int, sent_idx int, split_idx int, ext_idx int, "
+    "arg1 string, rel string, arg2 string, confidence double, "
+    "arg1_entity_id string, arg1_ner_type string, arg1_n_mentions long, "
+    "arg2_entity_id string, arg2_ner_type string, arg2_n_mentions long"
+)
+
+
+def q_a5_violation_counters(spark, sf_dir):
+    from openie_with_entities_spark.corpus import alias_dict
+    from openie_with_entities_spark.linking import violation_counters
+
+    t = spark.createDataFrame(_A5_FIXTURE, _A5_DDL)
+    return violation_counters(t, alias_dict(spark))
+
+
+def o_a5() -> str:
+    from __spark_entry__ import _alias_values
+
+    ddl_cols = (
+        "conv_id, turn_idx, sent_idx, split_idx, ext_idx, arg1, rel, arg2, "
+        "confidence, arg1_entity_id, arg1_ner_type, arg1_n_mentions, "
+        "arg2_entity_id, arg2_ner_type, arg2_n_mentions"
+    )
+
+    def row(r):
+        def v(x):
+            if x is None:
+                return "NULL"
+            if isinstance(x, str):
+                return "'" + x.replace("'", "''") + "'"
+            return str(x)
+
+        return "(" + ", ".join(v(x) for x in r) + ")"
+
+    values = ", ".join(row(r) for r in _A5_FIXTURE)
+    return f"""
+        WITH alias(surface_form, canonical_name) AS (VALUES {_alias_values()}),
+        t({ddl_cols}) AS (VALUES {values}),
+        tk AS (SELECT t.*, list_filter(string_split(rel, ' '), x -> x <> '') AS toks FROM t),
+        grams AS (
+            SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+                   trim(regexp_replace(regexp_replace(
+                       lower(array_to_string(toks[i:i+j-1], ' ')),
+                       '[^\\w\\s]', '', 'g'), ' +', ' ', 'g')) AS gram
+            FROM tk, unnest(range(1, len(toks) + 1)) AS s(i),
+                 unnest([1, 2, 3, 4]) AS l(j)),
+        c3_keys AS (
+            SELECT DISTINCT conv_id, turn_idx, sent_idx, split_idx, ext_idx
+            FROM grams WHERE gram <> ''
+              AND gram IN (SELECT surface_form FROM alias))
+        SELECT count(*) AS n_extractions,
+               CAST(sum(CASE WHEN arg1_entity_id IS NULL
+                             AND arg2_entity_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1_no_entity_in_args,
+               CAST(sum(CASE WHEN coalesce(arg1_n_mentions, 0) > 1
+                             OR coalesce(arg2_n_mentions, 0) > 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2_multi_entity_arg,
+               CAST((SELECT count(*) FROM c3_keys) AS BIGINT) AS c3_entity_in_relation,
+               CAST(sum(CASE WHEN arg1_entity_id IS NOT NULL
+                             AND arg1_entity_id = arg2_entity_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c4_entity_split_across_args
+        FROM t
+    """
+
+
+# --------------------------------------------------------------------------
+# A12 — bucket-by-length (relational twin of the batch packing)
+# --------------------------------------------------------------------------
+
+
+def q_a12_length_buckets(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        docs.select(F.floor(n / 16).alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+O_A12 = """
+    SELECT CAST(floor(n / 16) AS BIGINT) AS bucket, count(*) AS n_docs,
+           CAST(min(n) AS INT) AS min_tokens, CAST(max(n) AS INT) AS max_tokens
+    FROM (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+          FROM documents)
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# E1 — tuple matchers (greedy multiset matching; VALUES oracle derived from
+# the reference's matcher semantics and hand-verified)
+# --------------------------------------------------------------------------
+
+_E1_FIXTURE = [
+    # (pair_id, gold_rel, gold_args, pred_rel, pred_args)
+    (0, "founded", ["Ada", "Acme"], "founded", ["Ada", "Acme"]),
+    (1, "founded", ["Ada", "Acme Corp"], "founded", ["Ada", "Acme"]),
+    (2, "is", ["Bob", "chairman"], "be", ["Bob", "chairman"]),
+    (3, "praised", ["Eve", "Turing"], "visited", ["Eve", "Turing"]),
+    (4, "said", ["growth is strong", "Ada"], "said", ["Ada", "growth is strong"]),
+    (5, "visited", ["Eve", "Paris"], "visited", ["Eve", "sunny Paris today"]),
+]
+
+
+def q_e1_tuple_match(spark, sf_dir):
+    from openie_with_entities_spark.evaluate import (
+        Ext,
+        binary_linient_tuple_match,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, gr, ga, pr, pa in zip(
+                pdf["pair_id"], pdf["gold_rel"], pdf["gold_args"],
+                pdf["pred_rel"], pdf["pred_args"],
+            ):
+                prec, rec = binary_linient_tuple_match(
+                    Ext(gr, list(ga)), Ext(pr, list(pa))
+                )
+                rows.append(
+                    {
+                        "pair_id": int(pid),
+                        "precision": round(prec, 4),
+                        "recall": round(rec, 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    src = spark.createDataFrame(
+        _E1_FIXTURE,
+        "pair_id int, gold_rel string, gold_args array<string>, "
+        "pred_rel string, pred_args array<string>",
+    )
+    return src.mapInPandas(
+        run, "pair_id int, precision double, recall double"
+    )
+
+
+O_E1 = """
+    SELECT * FROM (VALUES
+        (0, 1.0, 1.0),
+        (1, 1.0, 0.75),
+        (2, 1.0, 1.0),
+        (3, 0.0, 0.0),
+        (4, 1.0, 1.0),
+        (5, 0.6, 1.0)
+    ) AS t(pair_id, precision, recall)
+"""
+
+
+# --------------------------------------------------------------------------
+# E2 — CaRB compare (greedy 1-1 precision / single-max recall, PR over
+# thresholds; VALUES oracle hand-derived for the 2-sentence fixture)
+# --------------------------------------------------------------------------
+
+
+def q_e2_carb_pr(spark, sf_dir):
+    from openie_with_entities_spark.evaluate import carb_pr
+
+    gold = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 1.0),
+            ("s2", "Eve", "visited", "Paris", 1.0),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 0.9),
+            ("s1", "Ada", "visited", "Paris", 0.4),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    r = carb_pr(gold, pred)
+    return spark.createDataFrame(
+        [
+            (
+                r.auc, r.optimal_f1, r.zero_conf_precision,
+                r.zero_conf_recall, r.zero_conf_f1,
+            )
+        ],
+        "auc double, optimal_f1 double, zc_precision double, "
+        "zc_recall double, zc_f1 double",
+    )
+
+
+# hand derivation: thresholds [0.4, 0.9].
+#   t=0.4: preds {exact match on s1, spurious on s1} → precision (1+0)/2=0.5,
+#          recall: s1 gold matched (1) of 2 golds → 0.5; f1 = 0.5
+#   t=0.9: preds {exact s1} → precision 1.0, recall 0.5, f1 = 2/3
+#   AUC (trapezoid over sorted (r,p) incl (0,1) anchor):
+#     points (0,1), (0.5,0.5), (0.5,1.0) → sorted by r then p:
+#     (0,1)→(0.5,0.5): 0.5*(1+0.5)/2 = 0.375; (0.5,0.5)→(0.5,1.0): 0 width
+#     = 0.375
+O_E2 = """
+    SELECT 0.375 AS auc, round(2.0/3.0, 4) AS optimal_f1,
+           0.5 AS zc_precision, 0.5 AS zc_recall, 0.5 AS zc_f1
+"""
+
+
+# --------------------------------------------------------------------------
+# E6 — F1 / trapezoid-AUC math over a PR-curve fixture (native twins)
+# --------------------------------------------------------------------------
+
+_E6_CURVE = [
+    (0.1, 0.50, 0.90),
+    (0.3, 0.65, 0.70),
+    (0.5, 0.80, 0.50),
+    (0.7, 0.95, 0.20),
+]
+
+
+def q_e6_f1_auc(spark, sf_dir):
+    src = spark.createDataFrame(
+        _E6_CURVE, "threshold double, p double, r double"
+    )
+    f1 = 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    pts = src.select("p", "r").union(
+        src.sparkSession.createDataFrame([(1.0, 0.0)], "p double, r double")
+    )
+    w = Window.orderBy("r")
+    seg = pts.select(
+        "p", "r", F.lag("p").over(w).alias("p0"), F.lag("r").over(w).alias("r0")
+    ).where(F.col("p0").isNotNull())
+    auc = seg.agg(
+        F.round(
+            F.sum((F.col("r") - F.col("r0")) * (F.col("p") + F.col("p0")) / 2),
+            4,
+        ).alias("auc")
+    )
+    best = src.agg(F.round(F.max(f1), 4).alias("optimal_f1"))
+    return best.crossJoin(auc)
+
+
+def o_e6() -> str:
+    values = ", ".join(f"({t}, {p}, {r})" for t, p, r in _E6_CURVE)
+    return f"""
+        WITH c(threshold, p, r) AS (VALUES {values}),
+        pts AS (SELECT p, r FROM c UNION ALL SELECT 1.0, 0.0),
+        seg AS (
+            SELECT p, r, lag(p) OVER (ORDER BY r) AS p0,
+                   lag(r) OVER (ORDER BY r) AS r0
+            FROM pts)
+        SELECT (SELECT round(max(2 * p * r / (p + r)), 4) FROM c) AS optimal_f1,
+               (SELECT round(sum((r - r0) * (p + p0) / 2), 4)
+                FROM seg WHERE p0 IS NOT NULL) AS auc
+    """
+
+
+# --------------------------------------------------------------------------
+# S9/S10 — lineage metrics + checkpoint/resume (rows-only is too weak: the
+# resume counts and triple count are deterministic → VALUES oracle)
+# --------------------------------------------------------------------------
+
+
+def q_s10_checkpoint_resume(spark, sf_dir):
+    import tempfile
+
+    from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+    from openie_with_entities_spark.plans.production import run_production
+
+    out = tempfile.mkdtemp(prefix="s10_contract_")
+    t = generate_transcripts(spark, 20)
+    first = run_production(spark, t, alias_dict(spark), out, n_buckets=8)
+    n_triples = first.triples.count()
+    second = run_production(spark, t, alias_dict(spark), out, n_buckets=8)
+    lineage = spark.read.parquet(os.path.join(out, "triples", "lineage"))
+    return spark.createDataFrame(
+        [
+            (
+                first.buckets_processed, first.buckets_skipped,
+                second.buckets_processed, second.buckets_skipped,
+                n_triples, second.triples.count(),
+                lineage.select("bucket").distinct().count(),
+            )
+        ],
+        "first_processed int, first_skipped int, second_processed int, "
+        "second_skipped int, n_triples long, n_triples_resumed long, "
+        "n_lineage_buckets long",
+    )
+
+
+def o_s10(n_triples: int) -> str:
+    return f"""
+        SELECT CAST(8 AS INT) AS first_processed, CAST(0 AS INT) AS first_skipped,
+               CAST(0 AS INT) AS second_processed, CAST(8 AS INT) AS second_skipped,
+               CAST({n_triples} AS BIGINT) AS n_triples,
+               CAST({n_triples} AS BIGINT) AS n_triples_resumed,
+               CAST(8 AS BIGINT) AS n_lineage_buckets
+    """
+
+
+# the deterministic triple count for 20 convs / seed 42 (verified by the
+# pipeline≡oracle pytest gate; recorded here to make resume oracle-exact)
+_S10_N_TRIPLES: int | None = 478
+
+
+def extra_queries() -> dict:
+    return {
+        "s2_labels_scan": q_s2_labels_scan,
+        "s3_conj_scan": q_s3_conj_scan,
+        "s4_gold_scan": q_s4_gold_scan,
+        "s7_allennlp_lines": q_s7_allennlp_lines,
+        "p2_sentinel_append": q_p2_sentinel_append,
+        "p3_tokenize_guard": q_p3_tokenize_guard,
+        "p4_wordpiece_align": q_p4_wordpiece_align,
+        "p6_verb_mask": q_p6_verb_mask,
+        "p8_detect_mentions": q_p8_detect_mentions,
+        "p10_char_to_word": q_p10_char_to_word,
+        "p12_decode_triple": q_p12_decode_triple,
+        "m2_decode_coords": q_m2_decode_coords,
+        "m3_conj_split": q_m3_conj_split,
+        "m4_oie_stage": q_m4_oie_stage,
+        "a1_group_by_sentence": q_a1_group_by_sentence,
+        "a5_violation_counters": q_a5_violation_counters,
+        "a11_split_conservation": q_a11_split_conservation,
+        "a12_length_buckets": q_a12_length_buckets,
+        "e1_tuple_match": q_e1_tuple_match,
+        "e2_carb_pr": q_e2_carb_pr,
+        "e6_f1_auc": q_e6_f1_auc,
+        "s10_checkpoint_resume": q_s10_checkpoint_resume,
+    }
+
+
+def extra_oracles() -> dict:
+    oracles = {
+        "s2_labels_scan": O_S2,
+        "s3_conj_scan": O_S3,
+        "s4_gold_scan": O_S4,
+        "s7_allennlp_lines": o_s7(),
+        "p2_sentinel_append": O_P2,
+        "p3_tokenize_guard": O_P3,
+        "p4_wordpiece_align": o_p4(),
+        "p6_verb_mask": o_p6(),
+        "p8_detect_mentions": o_p8(),
+        "p10_char_to_word": o_p10(),
+        "p12_decode_triple": o_p12(),
+        "m2_decode_coords": O_M2,
+        "m3_conj_split": O_M3,
+        "m4_oie_stage": o_m4(),
+        "a1_group_by_sentence": o_a1(),
+        "a5_violation_counters": o_a5(),
+        "a11_split_conservation": O_A11,
+        "a12_length_buckets": O_A12,
+        "e1_tuple_match": O_E1,
+        "e2_carb_pr": O_E2,
+        "e6_f1_auc": o_e6(),
+    }
+    if _S10_N_TRIPLES is not None:
+        oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)
+    return oracles
