@@ -58,13 +58,20 @@ def run_kg_pipeline(spark, n_convs: int) -> tuple[float, int]:
 
 
 def run_operator_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall-clock, min-of-2: this VM's neighbor noise produces
+    occasional 10× flukes on a single sample; the min of two runs of a
+    deterministic query is the honest noise-floor number (the kg headline
+    uses median-of-3 instead because it is the metric under test)."""
     import __spark_entry__ as entrymod
 
     out = {}
     for name, q in entrymod.queries().items():
-        t0 = time.monotonic()
-        q(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            q(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.monotonic() - t0)
+        out[name] = round(min(samples), 3)
     return out
 
 

@@ -99,3 +99,23 @@ def test_entry_smoke(spark):
     assert df.count() >= 0
     names = [f.name for f in df.schema.fields]
     assert "arg1" in names and "rel" in names
+
+
+def test_all_queries_emit_sortable_scalar_columns(spark):
+    """The driver's canonicalizer sorts EVERY output column in pandas;
+    array/map/struct cells are unhashable and crash it (round-1
+    media_features). Guard: every contract query's schema is atomic-only.
+    Schema derivation is lazy, so this stays cheap even for heavy queries —
+    except entries that execute at construction time, which are skipped
+    (their outputs are scalar literal frames by construction)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    eager = {"s10_checkpoint_resume", "e2_carb_pr"}  # run jobs to build
+    for name, q in entrymod.queries().items():
+        if name in eager:
+            continue
+        schema = q(spark, SF_DIR).schema
+        for f in schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType)
+            ), f"{name}.{f.name}: {f.dataType} is not canonicalizer-sortable"
