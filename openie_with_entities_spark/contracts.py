@@ -1025,6 +1025,119 @@ def o_s10(n_triples: int) -> str:
 _S10_N_TRIPLES: int | None = 478
 
 
+
+
+# --------------------------------------------------------------------------
+# Determinism oracles for two formerly rows-only entries: outputs are pure
+# functions of fixed seeds, so recorded literals ARE the cross-run /
+# cross-partitioning invariant the driver should verify each round.
+# --------------------------------------------------------------------------
+
+
+def q_kg_triples_checksum(spark, sf_dir):
+    """Order/partitioning-invariant checksum of the ENTIRE kg_triples
+    output: md5 over the sorted per-row md5s. Verified identical under
+    repartition(7) vs the default plan when recorded."""
+    from __spark_entry__ import _kg_triples
+
+    t = _kg_triples(spark, sf_dir)
+    h = t.select(
+        F.md5(
+            F.concat_ws(
+                "|", "conv_id", "turn_idx", "sent_idx", "split_idx",
+                "ext_idx", "arg1", "rel", "arg2",
+                F.format_string("%.2f", "confidence"),
+            )
+        ).alias("h")
+    )
+    return h.agg(
+        F.count("*").alias("n_triples"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+            "checksum"
+        ),
+    )
+
+
+# recorded at sf0.01 (the driver's compare scale); the pytest gate
+# (engine ≡ sequential oracle) establishes the values are CORRECT — this
+# entry additionally proves they are STABLE under any partitioning
+O_KG_CHECKSUM = """
+    SELECT CAST(4692 AS BIGINT) AS n_triples,
+           'd6d2c378717fe5b2b13c2509de8f1058' AS checksum
+"""
+
+# synth_media payloads are RandomState(media_id) bytes; features are their
+# 16-bin byte histograms — the recorded fingerprints are the seeded truth
+O_MEDIA = """
+    SELECT * FROM (VALUES
+        (0, 'image', 256, '444d6da9c76a3d3daf970c3a9e856692', 16, 1.0001),
+        (1, 'audio', 257, 'bc1918d55a0ead81cc525a51b6116d00', 16, 1.0),
+        (2, 'video', 258, '82aa865a3abf279e3d1f5b2b3ec2fedd', 16, 0.9998),
+        (3, 'image', 259, '70ca4bde7e7ee33139966191199293c5', 16, 1.0001),
+        (4, 'audio', 260, '2a8b8ab0125b7306eb751ad1b5157909', 16, 1.0),
+        (5, 'video', 261, '210aef1ac1e8145938fa4f67d1820a76', 16, 1.0001),
+        (6, 'image', 262, '0e19216a646b0b2dbfb8ccb7d74dcde7', 16, 1.0),
+        (7, 'audio', 263, '96306333e39987a1dc1964078b6f91ae', 16, 0.9994),
+        (8, 'video', 264, 'e558bbb7fb919f8a633686d76cff3c48', 16, 1.0),
+        (9, 'image', 265, '5d6ac5faa450033830c7fc62d57da267', 16, 1.0002),
+        (10, 'audio', 266, '176a815c3cd81ea31b8ba0abcccc3b1d', 16, 1.0002),
+        (11, 'video', 267, '5bcf0db74c439c7afb0fab9f181584d9', 16, 1.0002),
+        (12, 'image', 268, 'bfc1738279cd182aa1e3f254a67db0cf', 16, 1.0),
+        (13, 'audio', 269, '7e68f01b69ee653e42e718233f27c871', 16, 0.9998),
+        (14, 'video', 270, '27015852b18eb854c260569dab5b3cc3', 16, 1.0003),
+        (15, 'image', 271, '9190b45396f8eec1586ff071050d77c1', 16, 1.0001),
+        (16, 'audio', 272, 'e852c05c0b83764044ff7a1cf1d904c2', 16, 1.0001),
+        (17, 'video', 273, 'cd64bb4d6088d14d3a8456bea567eef2', 16, 1.0),
+        (18, 'image', 274, 'ac87424ba94f0200155bb284c465761a', 16, 0.9997),
+        (19, 'audio', 275, 'e84296af66fefef37b9791248c3b6863', 16, 1.0001),
+        (20, 'video', 276, '85b78eac7abbe4455bd97749e3e380ac', 16, 0.9998),
+        (21, 'image', 277, '1bcaee9ab08309cd525f9758a2dd0643', 16, 1.0001),
+        (22, 'audio', 278, '74d1173922231c2015411f17f788a79d', 16, 1.0),
+        (23, 'video', 279, '64853265861bfde404a45cfa39959ae3', 16, 1.0),
+        (24, 'image', 280, '991c75576688a9d6119e7a216e86da71', 16, 0.9998),
+        (25, 'audio', 281, '1543f776ce4bc3b72cd064e0487af9a8', 16, 1.0002),
+        (26, 'video', 282, '7e1a7a7e0a0498196d7e85c1f423a82d', 16, 0.9999),
+        (27, 'image', 283, '06638ca06dabbf609fc839fc503a8efa', 16, 0.9999),
+        (28, 'audio', 284, '9371b97e14fc8116caa80dcbc6de8ce2', 16, 1.0002),
+        (29, 'video', 285, '4a617a61f1c8249fda2eac0c55e9c423', 16, 0.9998),
+        (30, 'image', 286, '70cb6381e836ebd5b23e22a47c9212b2', 16, 0.9996),
+        (31, 'audio', 287, '00ff29499630c199aa6366e917c7bc24', 16, 1.0),
+        (32, 'video', 288, '50dc7952d2ea98c5886f27ec23f80d23', 16, 0.9998),
+        (33, 'image', 289, 'da09ebbf8a106feadf44d5d90ae812d3', 16, 0.9997),
+        (34, 'audio', 290, 'da18f0bac39b827668c82e5b6a6f549e', 16, 1.0001),
+        (35, 'video', 291, 'c1c2a61dc505ed339a782736491ca694', 16, 1.0001),
+        (36, 'image', 292, '0028f0e019bec5b170fd79dc32cb2e74', 16, 0.9999),
+        (37, 'audio', 293, '90fa4d7f9d0acd14430c99264478a24b', 16, 1.0),
+        (38, 'video', 294, 'bb8f8a1265d600e3984367d22476bd46', 16, 0.9996),
+        (39, 'image', 295, '54c52a9e5dd0a1584a721a7ef767c789', 16, 0.9998),
+        (40, 'audio', 296, 'd6d6845cf2afc31eff0bb5ffe36bd17d', 16, 0.9999),
+        (41, 'video', 297, '73ae3825a16b651975f8841a0f21a790', 16, 0.9999),
+        (42, 'image', 298, '9bab7403c735c955764da20fc80a6d15', 16, 0.9999),
+        (43, 'audio', 299, '409c39147f218bb11264dca0c36dc611', 16, 1.0),
+        (44, 'video', 300, '87d43b679f10186828b9aff196b06cff', 16, 1.0001),
+        (45, 'image', 301, 'b11f0adc4221408e2e3ce3ac0b462812', 16, 1.0),
+        (46, 'audio', 302, 'c6b46663133e3f2c8662c533cb887403', 16, 0.9998),
+        (47, 'video', 303, 'f2d69ab32f4f699b2b85aeaab0d9cae0', 16, 0.9999),
+        (48, 'image', 304, 'abe4ba815d0e60cdc874c193326575bd', 16, 1.0001),
+        (49, 'audio', 305, '1eddf5362999e0116bec838a56c3b16a', 16, 1.0001),
+        (50, 'video', 306, '626b4d6ddcb604b982ef5f28bed05d52', 16, 1.0),
+        (51, 'image', 307, 'fa907894c2611b89aa7d5bcd65d9244f', 16, 1.0),
+        (52, 'audio', 308, '696da8232946537958a162da16b2258b', 16, 1.0),
+        (53, 'video', 309, '87f2414bdf7a718468216d45ff0830c6', 16, 1.0),
+        (54, 'image', 310, '30280f3b52304354a1d41519e878a3ba', 16, 0.9999),
+        (55, 'audio', 311, 'dbd39abe2238dba63f2f4ea9b6e7c7b5', 16, 1.0),
+        (56, 'video', 312, '661a1214025a0513ea4666f7d4ab8e91', 16, 1.0),
+        (57, 'image', 313, 'bfb1afe1d219f178d2576d4ec005ca8f', 16, 1.0),
+        (58, 'audio', 314, '6585aadec10d559795c630afec6e2f0f', 16, 1.0002),
+        (59, 'video', 315, '15b3f73a395f23a5f3203d1abe7298b7', 16, 0.9997),
+        (60, 'image', 316, '427809d12bd367e39a46279712432a74', 16, 1.0001),
+        (61, 'audio', 317, '96b69c13a5229c1d54b19b99c0106745', 16, 1.0001),
+        (62, 'video', 318, '4f56be1f38fde783cff4013a98648996', 16, 1.0),
+        (63, 'image', 319, 'c39a0744b0871d1309b8c07749421c1d', 16, 1.0)
+    ) AS t(media_id, kind, n_bytes, feature_fp, feature_dim, feature_l1)
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1049,6 +1162,7 @@ def extra_queries() -> dict:
         "e2_carb_pr": q_e2_carb_pr,
         "e6_f1_auc": q_e6_f1_auc,
         "s10_checkpoint_resume": q_s10_checkpoint_resume,
+        "kg_triples_checksum": q_kg_triples_checksum,
     }
 
 
@@ -1075,6 +1189,8 @@ def extra_oracles() -> dict:
         "e1_tuple_match": O_E1,
         "e2_carb_pr": O_E2,
         "e6_f1_auc": o_e6(),
+        "kg_triples_checksum": O_KG_CHECKSUM,
+        "media_features": O_MEDIA,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -45,7 +45,7 @@ from ..functions.decode import (
     split_by_coordinations,
 )
 from ..oracle import MAX_WORDS_WITH_SENTINELS, segment_text
-from .labeler import conj_label_matrix, oie_label_matrix
+from .backends import DeterministicBackend
 from .mentions import _spans, normalize_surface
 from .stages import _partition_for_inference, _strip_sentinels
 
@@ -76,12 +76,18 @@ def fused_extract_stage(
     surfaces: frozenset[str],
     partitions: int | None = None,
     counters=None,
+    backend=None,
 ) -> DataFrame:
     """turns → deduped triples with per-arg link summaries.
+
+    Exactly TWO backend calls per Arrow batch — conj labels for every
+    eligible sentence, then OIE labels for every split sentence — the same
+    two batched forward passes as the reference's predict loops, colocated.
 
     ``counters``: optional plans.metrics.StageCounters (FUSED_COUNTERS set)
     incremented per Arrow batch — one accumulator update per batch, not per
     row."""
+    backend = backend or DeterministicBackend()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,6 +98,9 @@ def fused_extract_stage(
                 "arg1_surface", "arg1_n_mentions",
                 "arg2_surface", "arg2_n_mentions",
             )}
+            # pass 1: segment + length-guard every turn of the batch
+            sent_meta: list = []  # (conv_id, turn_idx, sent_idx, text)
+            token_lists: list[list[str]] = []
             for conv_id, turn_idx, turn_text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
@@ -102,38 +111,62 @@ def fused_extract_stage(
                     if len(tokens) > MAX_WORDS_WITH_SENTINELS:
                         n_long += 1
                         continue
-                    coords = decode_coordinations(conj_label_matrix(tokens))
-                    split_texts, _cw, _ = split_by_coordinations(coords, tokens)
-                    splits = [_strip_sentinels(t) for t in split_texts] or [text]
-                    n_splits += len(splits)
-                    seen: set[str] = set()
-                    for split_idx, split in enumerate(splits):
-                        stoks = split.split() + SENTINELS
-                        rows, confs = oie_label_matrix(stoks)
-                        for ext_idx, (arg1, rel, arg2, conf) in enumerate(
-                            decode_extractions(rows, stoks, confs)
-                        ):
-                            key = extraction_key(arg1, arg2, rel)
-                            if key in seen:
-                                n_dedup += 1
-                                continue
-                            seen.add(key)
-                            n_ext += 1
-                            s1, n1 = _link_summary(arg1, surfaces)
-                            s2, n2 = _link_summary(arg2, surfaces)
-                            out["conv_id"].append(conv_id)
-                            out["turn_idx"].append(turn_idx)
-                            out["sent_idx"].append(sent_idx)
-                            out["split_idx"].append(split_idx)
-                            out["ext_idx"].append(ext_idx)
-                            out["arg1"].append(arg1)
-                            out["rel"].append(rel)
-                            out["arg2"].append(arg2)
-                            out["confidence"].append(conf)
-                            out["arg1_surface"].append(s1)
-                            out["arg1_n_mentions"].append(n1)
-                            out["arg2_surface"].append(s2)
-                            out["arg2_n_mentions"].append(n2)
+                    sent_meta.append((conv_id, turn_idx, sent_idx, text))
+                    token_lists.append(tokens)
+            # one conj-model call for the whole batch
+            matrices = backend.conj_batch(token_lists)
+            # expand coordinations into split sentences
+            split_meta: list = []  # (sent row id, split_idx)
+            split_tokens: list[list[str]] = []
+            n_splits_per_sent: list[int] = []
+            for row_id, (tokens, matrix) in enumerate(
+                zip(token_lists, matrices)
+            ):
+                coords = decode_coordinations(matrix)
+                split_texts, _cw, _ = split_by_coordinations(coords, tokens)
+                splits = [_strip_sentinels(t) for t in split_texts] or [
+                    sent_meta[row_id][3]
+                ]
+                n_splits += len(splits)
+                n_splits_per_sent.append(len(splits))
+                for split_idx, split in enumerate(splits):
+                    split_meta.append((row_id, split_idx))
+                    split_tokens.append(split.split() + SENTINELS)
+            # one OIE-model call for all splits of the batch
+            labeled = backend.oie_batch(split_tokens)
+            # decode + per-sentence insert-order dedup + link summary
+            seen_for: int = -1
+            seen: set[str] = set()
+            for (row_id, split_idx), stoks, (rows, confs) in zip(
+                split_meta, split_tokens, labeled
+            ):
+                if row_id != seen_for:
+                    seen_for, seen = row_id, set()
+                conv_id, turn_idx, sent_idx, _text = sent_meta[row_id]
+                for ext_idx, (arg1, rel, arg2, conf) in enumerate(
+                    decode_extractions(rows, stoks, confs)
+                ):
+                    key = extraction_key(arg1, arg2, rel)
+                    if key in seen:
+                        n_dedup += 1
+                        continue
+                    seen.add(key)
+                    n_ext += 1
+                    s1, n1 = _link_summary(arg1, surfaces)
+                    s2, n2 = _link_summary(arg2, surfaces)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["sent_idx"].append(sent_idx)
+                    out["split_idx"].append(split_idx)
+                    out["ext_idx"].append(ext_idx)
+                    out["arg1"].append(arg1)
+                    out["rel"].append(rel)
+                    out["arg2"].append(arg2)
+                    out["confidence"].append(conf)
+                    out["arg1_surface"].append(s1)
+                    out["arg1_n_mentions"].append(n1)
+                    out["arg2_surface"].append(s2)
+                    out["arg2_n_mentions"].append(n2)
             if counters is not None:
                 counters.add("turns_in", len(pdf))
                 counters.add("sentences_in", n_sent)

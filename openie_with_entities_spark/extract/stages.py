@@ -37,7 +37,7 @@ from ..functions.decode import (
     decode_extractions,
     split_by_coordinations,
 )
-from .labeler import conj_label_matrix, oie_label_matrix
+from .backends import DeterministicBackend
 
 SPLIT_SCHEMA = (
     "conv_id string, turn_idx int, sent_idx int, split_idx int, "
@@ -74,14 +74,18 @@ def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | Non
 
 
 def conj_split_stage(
-    sentences: DataFrame, partitions: int | None = None
+    sentences: DataFrame, partitions: int | None = None, backend=None
 ) -> DataFrame:
     """sentences → one row per split sentence.
 
     A sentence with no (splittable) coordination yields itself as its single
     split (split_idx 0, n_splits 1) — the identity-mapping case of
     /root/reference/run.py:183-186.
+
+    ``backend``: a labeling backend (extract.backends); the conj model runs
+    ONCE per Arrow batch, the reference's batched predict loop shape.
     """
+    backend = backend or DeterministicBackend()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,11 +94,13 @@ def conj_split_stage(
                 "split_idx": [], "n_splits": [], "split_text": [],
                 "conj_words": [],
             }
-            for conv_id, turn_idx, sent_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"], pdf["text"]
+            token_lists = [t.split() + SENTINELS for t in pdf["text"]]
+            matrices = backend.conj_batch(token_lists)
+            for conv_id, turn_idx, sent_idx, text, tokens, matrix in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"], pdf["text"],
+                token_lists, matrices,
             ):
-                tokens = text.split() + SENTINELS
-                coords = decode_coordinations(conj_label_matrix(tokens))
+                coords = decode_coordinations(matrix)
                 texts, conj_words, _ = split_by_coordinations(coords, tokens)
                 splits = [_strip_sentinels(t) for t in texts] or [text]
                 for k, s in enumerate(splits):
@@ -115,14 +121,17 @@ def conj_split_stage(
     )
 
 
-def oie_stage(splits: DataFrame, partitions: int | None = None) -> DataFrame:
+def oie_stage(
+    splits: DataFrame, partitions: int | None = None, backend=None
+) -> DataFrame:
     """split sentences → raw extractions (pre global dedup/ranking).
 
     Insert-time dedup WITHIN one split sentence (first depth wins) happens
     here, exactly like the reference's per-sentence loop; cross-split dedup
     under the original sentence is a separate relational operator
-    (see operators.dedup).
+    (see operators.dedup). ``backend``: one OIE-model call per Arrow batch.
     """
+    backend = backend or DeterministicBackend()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,12 +140,12 @@ def oie_stage(splits: DataFrame, partitions: int | None = None) -> DataFrame:
                 "split_idx": [], "ext_idx": [], "arg1": [], "rel": [],
                 "arg2": [], "confidence": [],
             }
-            for conv_id, turn_idx, sent_idx, split_idx, text in zip(
+            token_lists = [t.split() + SENTINELS for t in pdf["split_text"]]
+            labeled = backend.oie_batch(token_lists)
+            for conv_id, turn_idx, sent_idx, split_idx, tokens, (rows, confs) in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
-                pdf["split_idx"], pdf["split_text"],
+                pdf["split_idx"], token_lists, labeled,
             ):
-                tokens = text.split() + SENTINELS
-                rows, confs = oie_label_matrix(tokens)
                 for j, (arg1, rel, arg2, conf) in enumerate(
                     decode_extractions(rows, tokens, confs)
                 ):

@@ -41,11 +41,15 @@ def extract_triples(
     transcripts: DataFrame,
     partitions: int | None = None,
     top_k: int | None = None,
+    backend=None,
 ) -> PipelineResult:
-    """Run segmentation → splitting → extraction → dedup (+ optional top-k)."""
+    """Run segmentation → splitting → extraction → dedup (+ optional top-k).
+
+    ``backend``: labeling backend (extract.backends) shared by the conj and
+    OIE stages; None = the deterministic sandbox backend."""
     sentences = segment_turns(transcripts)
-    splits = conj_split_stage(sentences, partitions=partitions)
-    raw = oie_stage(splits)
+    splits = conj_split_stage(sentences, partitions=partitions, backend=backend)
+    raw = oie_stage(splits, backend=backend)
     triples = dedup_triples(raw)
     if top_k is not None:
         triples = topk_triples(triples, top_k)
@@ -78,6 +82,7 @@ def build_kg_fused(
     transcripts: DataFrame,
     alias: DataFrame,
     partitions: int | None = None,
+    backend=None,
 ) -> DataFrame:
     """Production/bench path: ONE mapInPandas pass over raw turns
     (segment + conj + OIE + dedup + mention summary fused) and map-literal
@@ -90,6 +95,7 @@ def build_kg_fused(
     from ..linking import dictionary_surfaces, link_triples_inline
 
     triples = fused_extract_stage(
-        transcripts, dictionary_surfaces(alias), partitions=partitions
+        transcripts, dictionary_surfaces(alias), partitions=partitions,
+        backend=backend,
     )
     return link_triples_inline(triples, alias)

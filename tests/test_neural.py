@@ -8,6 +8,11 @@ import math
 import pytest
 
 from openie_with_entities_spark.extract.labeler import oie_label_matrix
+from openie_with_entities_spark.extract.mock_models import (
+    ConjLabelerMock,
+    LabelerMock,
+    fake_wordpiece_tokenizer as fake_tokenizer,
+)
 from openie_with_entities_spark.extract.neural import (
     DepthModel,
     NeuralConfig,
@@ -20,27 +25,6 @@ from openie_with_entities_spark.functions.decode import (
 )
 
 CFG = NeuralConfig("unused.ckpt", model_batch_size=3)
-
-
-def fake_tokenizer(word: str) -> list[int]:
-    """Deterministic stand-in: one wordpiece per 4 chars, ids from bytes."""
-    return [1000 + b for b in word.encode()[:12:4]]
-
-
-class LabelerMock(DepthModel):
-    """Scores = one-hot of the deterministic rule labeler's depth rows —
-    lets the full neural control flow be checked against the engine's
-    oracle-verified decode path."""
-
-    def score_depth(self, batch, depth, prev_labels):
-        out = []
-        for e in batch:
-            rows, _ = oie_label_matrix(e.words)
-            labels = rows[depth] if depth < len(rows) else [0] * len(e.words)
-            out.append(
-                [[8.0 if l == lab else 0.0 for l in range(6)] for lab in labels]
-            )
-        return out
 
 
 def test_word_starts_alignment():
@@ -188,3 +172,35 @@ def test_prev_labels_feedback_passed():
     )
     assert mock.seen[0] is None
     assert mock.seen[1] == [[1, 2]]  # argmax of depth-0 scores
+
+
+def test_neural_backend_drives_spark_stages(spark):
+    """The NeuralBackend (mock model) plugs into the SAME Spark stages as
+    the deterministic backend and — with the labeler-equivalent mock —
+    produces the identical triple set through the full distributed pipeline
+    (fused and modular), proving the model seam is plug-compatible."""
+    from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+    from openie_with_entities_spark.extract.backends import NeuralBackend
+    from openie_with_entities_spark.linking import dictionary_surfaces
+    from openie_with_entities_spark.extract.fused import fused_extract_stage
+    from openie_with_entities_spark.plans.pipeline import extract_triples
+
+    backend = NeuralBackend(
+        oie_cfg=NeuralConfig("mock.ckpt"),
+        conj_cfg=NeuralConfig("mock-conj.ckpt", task="conj", max_depth=3),
+        model=LabelerMock(),
+        conj_model=ConjLabelerMock(),
+        tokenize_word=fake_tokenizer,
+    )
+    t = generate_transcripts(spark, 12).cache()
+    det = extract_triples(t, partitions=4).triples
+    neu = extract_triples(t, partitions=4, backend=backend).triples
+    cols = ["conv_id", "turn_idx", "sent_idx", "arg1", "rel", "arg2"]
+    assert det.select(cols).exceptAll(neu.select(cols)).count() == 0
+    assert neu.select(cols).exceptAll(det.select(cols)).count() == 0
+
+    surfaces = dictionary_surfaces(alias_dict(spark))
+    det_f = fused_extract_stage(t, surfaces, partitions=4)
+    neu_f = fused_extract_stage(t, surfaces, partitions=4, backend=backend)
+    assert det_f.select(cols).exceptAll(neu_f.select(cols)).count() == 0
+    assert neu_f.select(cols).exceptAll(det_f.select(cols)).count() == 0
