@@ -1069,7 +1069,10 @@ O_KG_CHECKSUM = """
 # synth_media payloads are RandomState(media_id) bytes; features are their
 # 16-bin byte histograms — the recorded fingerprints are the seeded truth
 O_MEDIA = """
-    SELECT * FROM (VALUES
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(n_bytes AS INT) AS n_bytes, feature_fp,
+           CAST(feature_dim AS INT) AS feature_dim, feature_l1
+    FROM (VALUES
         (0, 'image', 256, '444d6da9c76a3d3daf970c3a9e856692', 16, 1.0001),
         (1, 'audio', 257, 'bc1918d55a0ead81cc525a51b6116d00', 16, 1.0),
         (2, 'video', 258, '82aa865a3abf279e3d1f5b2b3ec2fedd', 16, 0.9998),
@@ -1138,6 +1141,148 @@ O_MEDIA = """
 """
 
 
+# --------------------------------------------------------------------------
+# P15 — predicate normalization + frequency ranking
+# --------------------------------------------------------------------------
+
+
+def q_p15_predicate_norm(spark, sf_dir):
+    from __spark_entry__ import _TRIPLES_DDL, _TRIPLES_FIXTURE
+
+    from openie_with_entities_spark.operators.dedup import predicate_frequency
+
+    t = spark.createDataFrame(
+        _TRIPLES_FIXTURE
+        + [("c9", 0, 0, 0, 0, "X", "Joined!", "Y", 0.5)],  # normalizes to 'joined'
+        _TRIPLES_DDL,
+    )
+    return predicate_frequency(t)
+
+
+def o_p15() -> str:
+    from __spark_entry__ import _triples_values
+
+    return f"""
+        WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+               arg1, rel, arg2, confidence) AS (VALUES {_triples_values()},
+               ('c9', 0, 0, 0, 0, 'X', 'Joined!', 'Y', 0.5))
+        SELECT trim(regexp_replace(lower(rel), '[^\\w\\s]', '', 'g')) AS predicate,
+               count(*) AS cnt
+        FROM t GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# E5 — conjunction P/R/F1 (Shimbo criteria; VALUES oracle hand-verified:
+# pred/gold share s1 exactly; s2 agrees on the whole span only; s3/s4 are
+# spurious/missed → whole 2/3, outer/inner/exact 1/3 on both sides)
+# --------------------------------------------------------------------------
+
+
+def q_e5_conj_eval(spark, sf_dir):
+    from openie_with_entities_spark.evaluate_conj import evaluate_conjunctions
+
+    ddl = (
+        "sent_key string, cc int, spans array<struct<s:int,e:int>>, "
+        "seps array<int>"
+    )
+    pred = spark.createDataFrame(
+        [
+            ("s1", 3, [{"s": 0, "e": 0}, {"s": 2, "e": 2}, {"s": 4, "e": 4}], [1]),
+            ("s2", 2, [{"s": 0, "e": 1}, {"s": 3, "e": 5}], []),
+            ("s3", 1, [{"s": 0, "e": 0}, {"s": 2, "e": 3}], []),
+        ],
+        ddl,
+    )
+    gold = spark.createDataFrame(
+        [
+            ("s1", 3, [{"s": 0, "e": 0}, {"s": 2, "e": 2}, {"s": 4, "e": 4}], [1]),
+            ("s2", 2, [{"s": 0, "e": 1}, {"s": 4, "e": 5}], []),
+            ("s4", 2, [{"s": 0, "e": 0}, {"s": 3, "e": 3}], []),
+        ],
+        ddl,
+    )
+    r = evaluate_conjunctions(pred, gold)
+    return spark.createDataFrame(
+        [
+            (
+                r.n_pred, r.n_gold,
+                r.whole[2], r.outer[2], r.inner[2], r.exact[2],
+            )
+        ],
+        "n_pred long, n_gold long, whole_f1 double, outer_f1 double, "
+        "inner_f1 double, exact_f1 double",
+    )
+
+
+O_E5_CONJ = """
+    SELECT CAST(3 AS BIGINT) AS n_pred, CAST(3 AS BIGINT) AS n_gold,
+           0.6667 AS whole_f1, 0.3333 AS outer_f1,
+           0.3333 AS inner_f1, 0.3333 AS exact_f1
+"""
+
+
+# emb_ann_lsh is a pure function of the fixed hyperplane seed and the
+# embeddings table — the recorded top-k IS the cross-run invariant (recall
+# quality vs brute force is separately gated in tests/test_operators.py)
+O_ANN = """
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+           cos_sim, CAST(rk AS INT) AS rk
+    FROM (VALUES
+        (0, 0, 1.0, 1),
+        (0, 365, 0.37, 2),
+        (0, 334, 0.3627, 3),
+        (0, 387, 0.3311, 4),
+        (0, 423, 0.2969, 5),
+        (0, 73, 0.2954, 6),
+        (0, 7, 0.2928, 7),
+        (0, 320, 0.2879, 8),
+        (0, 190, 0.2818, 9),
+        (0, 464, 0.2766, 10),
+        (1, 1, 1.0, 1),
+        (1, 386, 0.3715, 2),
+        (1, 27, 0.3482, 3),
+        (1, 407, 0.327, 4),
+        (1, 195, 0.3227, 5),
+        (1, 64, 0.3164, 6),
+        (1, 124, 0.3028, 7),
+        (1, 402, 0.2923, 8),
+        (1, 472, 0.2921, 9),
+        (1, 220, 0.2898, 10),
+        (2, 2, 1.0, 1),
+        (2, 117, 0.3181, 2),
+        (2, 450, 0.2663, 3),
+        (2, 188, 0.2633, 4),
+        (2, 320, 0.255, 5),
+        (2, 418, 0.254, 6),
+        (2, 471, 0.2472, 7),
+        (2, 112, 0.2453, 8),
+        (2, 350, 0.2401, 9),
+        (2, 172, 0.2398, 10),
+        (3, 3, 1.0, 1),
+        (3, 130, 0.3999, 2),
+        (3, 149, 0.3299, 3),
+        (3, 343, 0.3085, 4),
+        (3, 231, 0.2988, 5),
+        (3, 207, 0.2917, 6),
+        (3, 192, 0.2908, 7),
+        (3, 315, 0.2852, 8),
+        (3, 437, 0.2805, 9),
+        (3, 474, 0.2767, 10),
+        (4, 4, 1.0, 1),
+        (4, 114, 0.3985, 2),
+        (4, 496, 0.3412, 3),
+        (4, 408, 0.3228, 4),
+        (4, 482, 0.3139, 5),
+        (4, 280, 0.2798, 6),
+        (4, 249, 0.2796, 7),
+        (4, 257, 0.2724, 8),
+        (4, 89, 0.266, 9),
+        (4, 470, 0.2525, 10)
+    ) AS t(q_id, vec_id, cos_sim, rk)
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1163,6 +1308,8 @@ def extra_queries() -> dict:
         "e6_f1_auc": q_e6_f1_auc,
         "s10_checkpoint_resume": q_s10_checkpoint_resume,
         "kg_triples_checksum": q_kg_triples_checksum,
+        "p15_predicate_norm": q_p15_predicate_norm,
+        "e5_conj_eval": q_e5_conj_eval,
     }
 
 
@@ -1191,6 +1338,9 @@ def extra_oracles() -> dict:
         "e6_f1_auc": o_e6(),
         "kg_triples_checksum": O_KG_CHECKSUM,
         "media_features": O_MEDIA,
+        "p15_predicate_norm": o_p15(),
+        "e5_conj_eval": O_E5_CONJ,
+        "emb_ann_lsh": O_ANN,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)
