@@ -1283,6 +1283,44 @@ O_ANN = """
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (LSH candidates + exact verify vs brute force)
+# --------------------------------------------------------------------------
+
+
+def q_emb_neardup(spark, sf_dir):
+    """Near-dup pairs over the embeddings table with three planted exact
+    duplicates (vec_id+10000) — the LSH path must find them all plus any
+    natural pairs; the oracle runs brute force over the SAME augmented
+    table."""
+    from openie_with_entities_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.where("vec_id < 3").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_neardup_pairs(emb.unionByName(planted), threshold=0.95)
+
+
+O_EMB_NEARDUP = """
+    WITH aug AS (
+        SELECT * FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding, label
+        FROM embeddings WHERE vec_id < 3)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4)
+          >= 0.95
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1310,6 +1348,7 @@ def extra_queries() -> dict:
         "kg_triples_checksum": q_kg_triples_checksum,
         "p15_predicate_norm": q_p15_predicate_norm,
         "e5_conj_eval": q_e5_conj_eval,
+        "emb_cosine_neardup": q_emb_neardup,
     }
 
 
@@ -1340,6 +1379,7 @@ def extra_oracles() -> dict:
         "media_features": O_MEDIA,
         "p15_predicate_norm": o_p15(),
         "e5_conj_eval": O_E5_CONJ,
+        "emb_cosine_neardup": O_EMB_NEARDUP,
         "emb_ann_lsh": O_ANN,
     }
     if _S10_N_TRIPLES is not None:

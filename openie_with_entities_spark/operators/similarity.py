@@ -120,6 +120,61 @@ def ann_candidates(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    n_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim) with
+    cosine ≥ threshold and vec_a < vec_b.
+
+    Default path (the 100 TB shape): multi-band LSH self-join — pairs
+    colliding in ANY band are candidates, exact cosine verifies. Defaults
+    are tuned for the near-dup regime (θ ≈ 18° at cos 0.95 → p_plane ≈ 0.9
+    → p_band = 0.9^8 ≈ 0.43 → 16-band recall ≈ 0.9999) with random pairs
+    colliding at only (1/2)^8 per band, so candidates stay a few percent of
+    all pairs — narrower/more selective than the top-k defaults because the
+    target similarity is much higher.
+
+    ``exact=True`` runs the brute-force all-pairs verification instead —
+    the small-data oracle twin (this is what the DuckDB oracle replicates).
+    """
+    a, b = embeddings.alias("a"), embeddings.alias("b")
+    if exact:
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    else:
+        ab = _banded(embeddings, "embedding", n_bands, n_planes, dim)
+        cand = (
+            ab.alias("a")
+            .join(
+                ab.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs = (
+            cand.join(a, cand["id_a"] == F.col("a.vec_id"))
+            .join(b, cand["id_b"] == F.col("b.vec_id"))
+        )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            _cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+        ).alias("cos_sim"),
+    )
+    return scored.where(F.col("cos_sim") >= threshold)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -262,3 +262,29 @@ def test_hot_shingle_bounded_candidates(spark):
         for r in ngram_jaccard_pairs(docs2, threshold=0.5).collect()
     }
     assert (0, 1000) in pairs
+
+
+def test_embedding_neardup_lsh_equals_exact(spark):
+    """The LSH candidate path finds the same ≥0.95 pairs as brute force on
+    a corpus with planted near-duplicates."""
+    from openie_with_entities_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    planted = emb.where("vec_id < 4").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.unionByName(planted)
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(aug, threshold=0.95).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(
+            aug, threshold=0.95, exact=True
+        ).collect()
+    }
+    assert lsh == exact
+    assert {(i, i + 10000) for i in range(4)} <= exact
