@@ -1321,6 +1321,59 @@ O_EMB_NEARDUP = """
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal frame sampling (deterministic fake decoder → recorded digests)
+# --------------------------------------------------------------------------
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from openie_with_entities_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    frames = sample_frames(synth_media(spark, 24), every_ms=400, max_frames=5)
+    return frames.select(
+        "media_id", "frame_idx", "t_ms",
+        F.md5("frame_payload").alias("frame_md5"),
+        F.length("frame_payload").alias("n_bytes"),
+    )
+
+
+# seeded-deterministic: payloads are RandomState(media_id) bytes, frames are
+# fixed slices — the recorded digests are the cross-run invariant
+O_FRAMES = """
+    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(t_ms AS INT) AS t_ms, frame_md5, CAST(n_bytes AS INT) AS n_bytes
+    FROM (VALUES
+        (2, 0, 0, 'f5f0799f5aeb3d1838390786608cf51b', 86),
+        (2, 1, 400, 'd2281d9434503fad7bfbc94289432590', 86),
+        (2, 2, 800, '7c62d23eef7a5351a0cfc3da58c2fefb', 86),
+        (5, 0, 0, 'b8b7aecc3da4f73bdbb23574416c67c0', 87),
+        (5, 1, 400, '186739f42bca1bddfabab507fc1741d4', 87),
+        (5, 2, 800, '7a480c4fe07ed62874a1c8e7e93ac9b3', 87),
+        (8, 0, 0, '743fe02aab77454f3dde942a2271325c', 88),
+        (8, 1, 400, 'eaedf7220523f511da7472f947bb353d', 88),
+        (8, 2, 800, 'b72c585e9a3e0dbb4071b39322e79f52', 88),
+        (11, 0, 0, 'dade787834dc1d50f0fe150690586b96', 89),
+        (11, 1, 400, '12e7d6eba408e2f52f0ddfa9759ea717', 89),
+        (11, 2, 800, '8893db1aa060d7a63b6b08f6d23cb51b', 89),
+        (14, 0, 0, 'd300ef6465f65bd8e8296ae76b0c9105', 90),
+        (14, 1, 400, '0da8e81e623d1279983e68172ca521b3', 90),
+        (14, 2, 800, '9404b8caa6cd583d971c6113baee55a0', 90),
+        (17, 0, 0, '37a479617f81fb93449ecc12f9ed902b', 91),
+        (17, 1, 400, '0b01ebe2b698cda5bde367bade3422bb', 91),
+        (17, 2, 800, 'e4a6d1382a1bbda2f9e9672d42bbfdb1', 91),
+        (20, 0, 0, '9203475ea87a5e80d3c60bd15353ec4c', 92),
+        (20, 1, 400, 'b2b21f36cbd5ca0baa2ab011c6bb6c4f', 92),
+        (20, 2, 800, '685b830bf8c41c3b8e1b80558f2443eb', 92),
+        (23, 0, 0, '7ee7dc8c0b69207fad596e6f91bf3214', 93),
+        (23, 1, 400, 'e396b530fb5f8975ac0ccfeca8491535', 93),
+        (23, 2, 800, 'a9cb163995322c0bae892f49dc6e85f0', 93)
+    ) AS t(media_id, frame_idx, t_ms, frame_md5, n_bytes)
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1349,6 +1402,7 @@ def extra_queries() -> dict:
         "p15_predicate_norm": q_p15_predicate_norm,
         "e5_conj_eval": q_e5_conj_eval,
         "emb_cosine_neardup": q_emb_neardup,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -1380,6 +1434,7 @@ def extra_oracles() -> dict:
         "p15_predicate_norm": o_p15(),
         "e5_conj_eval": O_E5_CONJ,
         "emb_cosine_neardup": O_EMB_NEARDUP,
+        "media_frame_sample": O_FRAMES,
         "emb_ann_lsh": O_ANN,
     }
     if _S10_N_TRIPLES is not None:

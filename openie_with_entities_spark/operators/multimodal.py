@@ -90,6 +90,92 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Real resize hook — needs PIL; the deterministic fake nearest-neighbor
+    samples the payload down to width·height bytes (same batch shape and
+    size contract as a real thumbnailer)."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL — not installed; use fake=True"
+        )
+    n = max(width * height, 1)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(n) * len(arr)) // n
+    return arr[idx].tobytes()
+
+
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Batched thumbnailing of image rows; non-images pass through
+    untouched rows are DROPPED (resize is an image op). Output payload is
+    the thumbnail — downstream shuffles carry width·height bytes, not the
+    original."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "media_id": img["media_id"],
+                    "payload": [
+                        resize_image(p, width, height, fake=fake)
+                        for p in img["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(
+        run, schema="media_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 500, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled timestamp
+    (0, every_ms, 2·every_ms, … up to duration_ms, capped at max_frames).
+    The fake decoder slices a deterministic window of the payload per
+    frame; a real decoder (pyav/ffmpeg) swaps in behind the same row
+    contract. Frames explode row counts, so the stage emits only the frame
+    bytes + typed metadata — never the source payload."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires pyav/ffmpeg — not installed; use fake=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            vid = pdf[pdf["kind"] == "video"]
+            for mid, payload, dur in zip(
+                vid["media_id"], vid["payload"], vid["duration_ms"]
+            ):
+                n = min(int(dur) // every_ms + 1, max_frames)
+                for k in range(n):
+                    lo = (k * len(payload)) // max(n, 1)
+                    hi = ((k + 1) * len(payload)) // max(n, 1)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": k,
+                            "t_ms": k * every_ms,
+                            "frame_payload": bytes(payload[lo:hi]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "t_ms", "frame_payload"],
+            )
+
+    return media.repartition("media_id").mapInPandas(
+        run,
+        schema="media_id long, frame_idx int, t_ms int, frame_payload binary",
+    )
+
+
 def feature_fingerprints(media: DataFrame, fake: bool = True) -> DataFrame:
     """Contract-friendly projection of ``extract_features``: every output
     column is a sortable scalar (the driver's canonicalizer sorts all

@@ -47,6 +47,26 @@ def streaming_triples(
     return fused_extract_stage(deduped, surfaces, partitions=partitions)
 
 
+def windowed_turn_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked time-window aggregation over the transcript stream:
+    turns per (window, role). Late rows beyond the watermark are dropped by
+    the engine; window state is evicted once the watermark passes — the
+    bounded-state requirement for an unbounded 10^12-turn feed."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
 def run_stream_to_table(
     triples_stream: DataFrame,
     out_path: str,

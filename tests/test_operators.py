@@ -288,3 +288,66 @@ def test_embedding_neardup_lsh_equals_exact(spark):
     }
     assert lsh == exact
     assert {(i, i + 10000) for i in range(4)} <= exact
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from openie_with_entities_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 24)
+    thumbs = resize_images(media, width=4, height=4).collect()
+    assert thumbs and all(len(r.payload) == 16 for r in thumbs)
+    kinds = {r.media_id % 3 for r in thumbs}
+    assert kinds == {0}, "only image rows (media_id % 3 == 0) are resized"
+
+    frames = sample_frames(media, every_ms=400, max_frames=5)
+    rows = frames.collect()
+    assert rows and all(r.t_ms == r.frame_idx * 400 for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r)
+    for mid, rs in per.items():
+        assert mid % 3 == 2, "only video rows sampled"
+        assert len(rs) <= 5
+        assert [r.frame_idx for r in sorted(rs, key=lambda x: x.frame_idx)] == list(range(len(rs)))
+    # deterministic across runs/partitionings
+    again = {(r.media_id, r.frame_idx, bytes(r.frame_payload)) for r in sample_frames(media.repartition(7), every_ms=400, max_frames=5).collect()}
+    assert {(r.media_id, r.frame_idx, bytes(r.frame_payload)) for r in rows} == again
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import os
+
+    from openie_with_entities_spark.corpus import generate_transcripts
+    from openie_with_entities_spark.streaming.ingest import (
+        stream_transcripts,
+        windowed_turn_counts,
+    )
+
+    inp = str(tmp_path / "in")
+    generate_transcripts(spark, 20).write.mode("overwrite").parquet(inp)
+    agg = windowed_turn_counts(stream_transcripts(spark, inp), window="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    # batch ground truth: same windows computed without streaming
+    want = {
+        (r.window_start, r.window_end, r.role): r.n_turns
+        for r in windowed_turn_counts(
+            spark.read.parquet(inp), window="10 minutes"
+        ).collect()
+    }
+    # append mode emits only watermark-closed windows → subset of batch truth
+    assert got, "availableNow drain should close and emit windows"
+    for r in got:
+        assert want[(r.window_start, r.window_end, r.role)] == r.n_turns
