@@ -1374,6 +1374,40 @@ O_FRAMES = """
 """
 
 
+# --------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprint — native twins
+# --------------------------------------------------------------------------
+
+
+def q_docs_winnowing(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import (
+        winnowing_fingerprint,
+    )
+
+    return winnowing_fingerprint(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+O_WINNOW = """
+    WITH g AS (
+        SELECT doc_id,
+               [md5(substring(text, CAST(i AS INT), 8))
+                FOR i IN range(1, greatest(length(text) - 7, 1) + 1)] AS grams
+        FROM documents),
+    sel AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [list_min(grams[CAST(w AS INT):CAST(w AS INT) + 15])
+                    FOR w IN range(1, greatest(len(grams) - 15, 1) + 1)]
+               )) AS selected
+        FROM g)
+    SELECT doc_id, CAST(len(selected) AS INT) AS n_selected,
+           md5(array_to_string(selected, '')) AS winnow_fp
+    FROM sel
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1403,6 +1437,7 @@ def extra_queries() -> dict:
         "e5_conj_eval": q_e5_conj_eval,
         "emb_cosine_neardup": q_emb_neardup,
         "media_frame_sample": q_media_frame_sample,
+        "docs_winnowing": q_docs_winnowing,
     }
 
 
@@ -1435,6 +1470,7 @@ def extra_oracles() -> dict:
         "e5_conj_eval": O_E5_CONJ,
         "emb_cosine_neardup": O_EMB_NEARDUP,
         "media_frame_sample": O_FRAMES,
+        "docs_winnowing": O_WINNOW,
         "emb_ann_lsh": O_ANN,
     }
     if _S10_N_TRIPLES is not None:

@@ -120,6 +120,41 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprint(
+    docs: DataFrame, k: int = 8, window: int = 16
+) -> DataFrame:
+    """Winnowing document fingerprint (the MOSS rolling-hash scheme): hash
+    every k-gram, keep the MINIMUM hash of each sliding window of
+    ``window`` consecutive k-grams, fingerprint = digest of the selected
+    hash set. Guarantees any shared substring of length ≥ window+k−1
+    contributes a common selected hash — the local-similarity property a
+    whole-document digest lacks.
+
+    Pure projection (zero shuffle): k-gram hashes, window minima, distinct,
+    sort, digest — all inside one row. md5 stands in for the rolling hash
+    so the DuckDB oracle reproduces it bit-for-bit; at 100 TB you would
+    swap in a true rolling hash (same selection structure, cheaper per
+    position)."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+    )
+    grams = F.transform(positions, lambda i: F.md5(F.col("text").substr(i, F.lit(k))))
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    selected = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda w: F.array_min(F.slice(grams, w, F.lit(window))),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(selected).alias("n_selected"),
+        F.md5(F.array_join(selected, "")).alias("winnow_fp"),
+    )
+
+
 # -------------------------------------------------------------------- dedup
 
 

@@ -351,3 +351,37 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got, "availableNow drain should close and emit windows"
     for r in got:
         assert want[(r.window_start, r.window_end, r.role)] == r.n_turns
+
+
+def test_winnowing_local_similarity(spark):
+    """Winnowing's guarantee: documents sharing a substring of length
+    ≥ window+k−1 (= 23 at defaults) share at least one selected hash;
+    unrelated docs (typically) share none."""
+    from openie_with_entities_spark.operators.docops import shingle_array
+
+    from pyspark.sql import functions as F
+
+    shared = "THE-COMMON-BOILERPLATE-SEGMENT-XYZ"  # 34 chars ≥ 23
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, shared + " zzzz completely different tail here"),
+            (3, "nothing in common with the others at all q"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 8, 16
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    n_win = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda x: F.array_min(F.slice(grams, x, F.lit(w))),
+        )
+    )
+    sel = {r.doc_id: set(r.s) for r in docs.select("doc_id", selected.alias("s")).collect()}
+    assert sel[1] & sel[2], "shared 34-char substring must share a fingerprint hash"
+    assert not (sel[1] & sel[3])
