@@ -1408,6 +1408,53 @@ O_WINNOW = """
 """
 
 
+# --------------------------------------------------------------------------
+# A3 near-dedup recorded oracle + simhash stability checksum
+# --------------------------------------------------------------------------
+
+# the near-dup filter's SequenceMatcher semantics are not SQL-expressible;
+# the fixture is fixed, so the recorded survivors (verified against the
+# reference's delete-first-on-tie rule in pytest) are the oracle. Note
+# ext_idx 1 ("Turing") loses to ext_idx 2 ("Turin") on the tie.
+O_A3 = """
+    SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+           CAST(sent_idx AS INT) AS sent_idx,
+           CAST(split_idx AS INT) AS split_idx,
+           CAST(ext_idx AS INT) AS ext_idx,
+           arg1, rel, arg2, confidence
+    FROM (VALUES
+        ('c0', 0, 0, 0, 0, 'Bob', 'joined', 'the board of Acme Corp', 0.9),
+        ('c0', 0, 1, 0, 0, 'Bob', 'visited', 'sunny Paris', 0.8),
+        ('c0', 1, 0, 0, 0, 'Eve', 'slept', 'all day', 0.7),
+        ('c0', 1, 0, 0, 2, 'Eve', 'praised', 'Turin', 0.5)
+    ) AS t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
+           arg1, rel, arg2, confidence)
+"""
+
+
+def q_simhash_checksum(spark, sf_dir):
+    """xxhash64 values are Spark-side only (no DuckDB twin), but they are a
+    pure function of the text — this order-invariant digest makes their
+    STABILITY oracle-checkable across rounds and partitionings."""
+    from __spark_entry__ import _docs_simhash
+
+    sh = _docs_simhash(spark, sf_dir)
+    return sh.select(
+        F.concat_ws(":", "doc_id", "simhash_prefix").alias("s")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("s")))).alias(
+            "checksum"
+        ),
+    )
+
+
+O_SIMHASH_CS = """
+    SELECT CAST(500 AS BIGINT) AS n_docs,
+           'aa2eb3765f77f54e1d1d83342fe8b1a5' AS checksum
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1438,6 +1485,7 @@ def extra_queries() -> dict:
         "emb_cosine_neardup": q_emb_neardup,
         "media_frame_sample": q_media_frame_sample,
         "docs_winnowing": q_docs_winnowing,
+        "docs_simhash_checksum": q_simhash_checksum,
     }
 
 
@@ -1471,6 +1519,8 @@ def extra_oracles() -> dict:
         "emb_cosine_neardup": O_EMB_NEARDUP,
         "media_frame_sample": O_FRAMES,
         "docs_winnowing": O_WINNOW,
+        "a3_neardedup": O_A3,
+        "docs_simhash_checksum": O_SIMHASH_CS,
         "emb_ann_lsh": O_ANN,
     }
     if _S10_N_TRIPLES is not None:
