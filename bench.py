@@ -71,6 +71,8 @@ def run_operator_queries(spark, sf_dir: str) -> dict[str, float]:
             t0 = time.monotonic()
             q(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.monotonic() - t0)
+            if samples[-1] > 30.0:
+                break  # genuinely long queries aren't warmup artifacts
         out[name] = round(min(samples), 3)
     return out
 

@@ -137,7 +137,11 @@ def embedding_neardup_pairs(
     → p_band = 0.9^8 ≈ 0.43 → 16-band recall ≈ 0.9999) with random pairs
     colliding at only (1/2)^8 per band, so candidates stay a few percent of
     all pairs — narrower/more selective than the top-k defaults because the
-    target similarity is much higher.
+    target similarity is much higher. As with top-k, n_planes must grow
+    with corpus size (≈ log2(N / target_bucket_rows)) or per-bucket
+    self-joins go quadratic: at 10⁹ vectors use r ≈ 24–28, where a cos-0.95
+    neighbor still collides per band at 0.9^r ≈ 0.05–0.08 and recall comes
+    from the band union (B ≈ 64 → ≥ 0.96).
 
     ``exact=True`` runs the brute-force all-pairs verification instead —
     the small-data oracle twin (this is what the DuckDB oracle replicates).
