@@ -102,3 +102,109 @@ def test_matcher_bounds_and_self_match(rel, a1, a2, other):
         assert 0.0 <= prec <= 1.0 and 0.0 <= rec <= 1.0
     # exact self-match (no '.' tokens in these alphabets) is perfect
     assert binary_linient_tuple_match(g, Ext(g.pred, list(g.args))) == [1.0, 1.0]
+
+
+def _brute_jaccard(texts, k=15, threshold=0.5):
+    """Pure-Python brute force twin of ngram_jaccard_pairs."""
+    sets = {
+        i: {t[j : j + k] for j in range(max(len(t) - k + 1, 1))}
+        for i, t in enumerate(texts)
+    }
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 4)
+            if jac >= threshold:
+                out.add((a, b, jac))
+    return out
+
+
+def test_jaccard_prefix_filter_exactness_fuzz(spark):
+    """The df-ordered prefix filter must lose NO true pair: fuzzed corpora
+    mixing near-duplicates, shared boilerplate, and short docs, checked
+    against pure-Python brute force at two thresholds."""
+    rng = random.Random(99)
+    alphabet = "abcdef "
+    for trial in range(3):
+        base = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(16, 60)))
+            for _ in range(10)
+        ]
+        texts = list(base)
+        # near-duplicates (mutate one char), exact dup, shared boilerplate
+        texts.append(base[0][:-1] + "x")
+        texts.append(base[1])
+        boiler = "SHARED-BOILERPLATE"
+        texts.append(boiler + base[2])
+        texts.append(boiler + base[3])
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        from openie_with_entities_spark.operators.docops import (
+            ngram_jaccard_pairs,
+        )
+
+        for t in (0.5, 0.8):
+            got = {
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+            }
+            want = _brute_jaccard(texts, threshold=t)
+            assert got == want, (trial, t, got ^ want)
+
+
+def test_snap_objects_equals_python_twin_fuzz(spark):
+    """Token-suffix snapping fuzz: random arg2 phrases mixing gazetteer
+    names, punctuation, and noise — the Spark equi-join must match a
+    pure-Python reimplementation of the longest-suffix rule."""
+    import re as _re
+
+    from openie_with_entities_spark.corpus import alias_dict, gazetteer_rows
+    from openie_with_entities_spark.linking import snap_objects
+
+    best = {}
+    for r in gazetteer_rows():
+        sf = r["surface_form"]
+        if sf and (sf not in best or r["canonical_name"] > best[sf]):
+            best[sf] = max(best.get(sf, ""), r["canonical_name"])
+
+    def norm(s):
+        return _re.sub(" +", " ", _re.sub(r"[^\w\s]", "", s.lower())).strip()
+
+    def py_snap(rel, arg2):
+        toks = [t for t in arg2.split(" ") if t]
+        matches = []
+        for j in range(1, min(4, max(len(toks), 1)) + 1):
+            suffix = norm(" ".join(toks[-j:])) if toks else ""
+            if suffix and suffix in best:
+                prefix = " ".join(toks[: len(toks) - j]).strip()
+                matches.append((len(suffix), suffix, best[suffix], prefix))
+        if not matches:
+            return rel, arg2
+        _, sf, cn, prefix = max(matches)
+        return (rel + " " + prefix if prefix else rel), cn
+
+    rng = random.Random(5)
+    names = ["Acme Corp", "Alan Turing", "Paris", "Tim Berners-Lee", "megacorp"]
+    fillers = ["the", "board", "of", "sunny", ",", ".", "visited", ""]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 6)
+        parts = [rng.choice(fillers + names) for _ in range(n)]
+        arg2 = " ".join(p for p in parts if p != "")
+        rows.append(("c", 0, i, 0, 0, "X", "did", arg2 or "x", 0.5))
+    ddl = (
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double"
+    )
+    t = spark.createDataFrame(rows, ddl)
+    got = {
+        r.sent_idx: (r.rel_snapped, r.arg2_snapped)
+        for r in snap_objects(t, alias_dict(spark)).collect()
+    }
+    for row in rows:
+        i, rel, arg2 = row[2], row[6], row[7]
+        assert got[i] == py_snap(rel, arg2), (arg2, got[i], py_snap(rel, arg2))
