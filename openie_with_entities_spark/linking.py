@@ -202,7 +202,10 @@ def _norm_phrase(col):
 
 
 def snap_objects(
-    triples: DataFrame, alias: DataFrame, max_surface_tokens: int = 4
+    triples: DataFrame,
+    alias: DataFrame,
+    max_surface_tokens: int = 4,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Entity-ending-object rewrite (/root/reference/scripts/baselines.py:50-88):
     when the object ends with a dictionary entity, move the prefix into the
@@ -216,12 +219,18 @@ def snap_objects(
     token-aligned: a surface can no longer match mid-token ("megacorp" never
     snaps to "corp"), which is the semantics the reference intends — its
     dictionary entries are whole entity names. ``max_surface_tokens`` must
-    be ≥ the dictionary's longest surface token count."""
-    canon = F.broadcast(
-        alias.groupBy("surface_form").agg(
-            F.max("canonical_name").alias("canonical_name")
-        )
+    be ≥ the dictionary's longest surface token count.
+
+    ``n_salt``: None (default) broadcasts the deduped dictionary; set it
+    when the dictionary outgrows broadcast — the dictionary replicates
+    ×n_salt and the candidate side salts deterministically, bounding any
+    hot suffix ("paris" in boilerplate objects) to 1/n_salt of a reducer,
+    the same skew treatment as link_mentions_salted."""
+    canon = alias.groupBy("surface_form").agg(
+        F.max("canonical_name").alias("canonical_name")
     )
+    if n_salt is None:
+        canon = F.broadcast(canon)
     key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
     toks = F.filter(F.split(F.col("arg2"), " "), lambda t: t != "")
     with_toks = triples.select(*key, toks.alias("_toks"))
@@ -248,12 +257,28 @@ def snap_objects(
             F.array_join(F.expr("slice(_toks, 1, size(_toks) - _j)"), " ")
         ).alias("_prefix"),
     )
-    matched = cand.join(
-        canon,
-        (cand["_suffix"] == canon["surface_form"])
-        & (F.col("surface_form") != ""),
-        "inner",
-    )
+    if n_salt is None:
+        matched = cand.join(
+            canon,
+            (cand["_suffix"] == canon["surface_form"])
+            & (F.col("surface_form") != ""),
+            "inner",
+        )
+    else:
+        salted_canon = canon.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        salted_cand = cand.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*key, "_prefix"), F.lit(n_salt)).cast("int"),
+        )
+        matched = salted_cand.join(
+            salted_canon.hint("shuffle_hash"),
+            (salted_cand["_suffix"] == salted_canon["surface_form"])
+            & (salted_cand["_salt"] == salted_canon["_salt"])
+            & (F.col("surface_form") != ""),
+            "inner",
+        ).drop("_salt")
     # keep the longest matching suffix per triple
     best = matched.groupBy(*key).agg(
         F.max(

@@ -229,3 +229,29 @@ def test_c3_entity_in_relation(spark, aliases):
     assert v.c3_entity_in_relation == 2
     # without the dictionary the counter is NULL, not silently zero
     assert violation_counters(t).collect()[0].c3_entity_in_relation is None
+
+
+def test_snap_objects_salted_equals_broadcast(spark, aliases):
+    """The salted (big-dictionary) snap path must produce exactly the
+    broadcast path's output, with a ShuffledHashJoin on (_suffix, _salt)
+    instead of a broadcast join."""
+    from openie_with_entities_spark.linking import snap_objects
+
+    rows = [
+        ("c", 0, i, 0, 0, "Bob", "joined",
+         ["the board of Acme Corp", "sunny Paris", "all day", "Turing"][i % 4],
+         0.9)
+        for i in range(20)
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double"
+    )
+    t = spark.createDataFrame(rows, ddl)
+    cols = ["sent_idx", "rel_snapped", "arg2_snapped"]
+    a = snap_objects(t, aliases).select(cols)
+    b = snap_objects(t, aliases, n_salt=4).select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
