@@ -1455,6 +1455,81 @@ O_SIMHASH_CS = """
 """
 
 
+# --------------------------------------------------------------------------
+# IVF approximate top-k (recorded deterministic output — centroids are a
+# pure function of the seeded k-means over the lowest vec_ids, verified
+# partition-invariant when recorded)
+# --------------------------------------------------------------------------
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    from openie_with_entities_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(emb, q, k=10)
+
+
+O_IVF = """
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+           cos_sim, CAST(rk AS INT) AS rk
+    FROM (VALUES
+        (0, 0, 1.0, 1),
+        (0, 365, 0.37, 2),
+        (0, 387, 0.3311, 3),
+        (0, 423, 0.2969, 4),
+        (0, 320, 0.2879, 5),
+        (0, 190, 0.2818, 6),
+        (0, 323, 0.2565, 7),
+        (0, 498, 0.2507, 8),
+        (0, 257, 0.2481, 9),
+        (0, 36, 0.2387, 10),
+        (1, 1, 1.0, 1),
+        (1, 195, 0.3227, 2),
+        (1, 64, 0.3164, 3),
+        (1, 124, 0.3028, 4),
+        (1, 402, 0.2923, 5),
+        (1, 300, 0.2368, 6),
+        (1, 285, 0.2301, 7),
+        (1, 233, 0.2241, 8),
+        (1, 477, 0.2154, 9),
+        (1, 59, 0.2135, 10),
+        (2, 2, 1.0, 1),
+        (2, 450, 0.2663, 2),
+        (2, 145, 0.2635, 3),
+        (2, 418, 0.254, 4),
+        (2, 112, 0.2453, 5),
+        (2, 172, 0.2398, 6),
+        (2, 440, 0.2314, 7),
+        (2, 407, 0.2191, 8),
+        (2, 465, 0.219, 9),
+        (2, 13, 0.2084, 10),
+        (3, 3, 1.0, 1),
+        (3, 130, 0.3999, 2),
+        (3, 174, 0.3035, 3),
+        (3, 231, 0.2988, 4),
+        (3, 192, 0.2908, 5),
+        (3, 315, 0.2852, 6),
+        (3, 474, 0.2767, 7),
+        (3, 363, 0.2686, 8),
+        (3, 396, 0.261, 9),
+        (3, 134, 0.2506, 10),
+        (4, 4, 1.0, 1),
+        (4, 114, 0.3985, 2),
+        (4, 482, 0.3139, 3),
+        (4, 280, 0.2798, 4),
+        (4, 249, 0.2796, 5),
+        (4, 470, 0.2525, 6),
+        (4, 346, 0.2316, 7),
+        (4, 288, 0.2286, 8),
+        (4, 332, 0.2276, 9),
+        (4, 269, 0.2169, 10)
+    ) AS t(q_id, vec_id, cos_sim, rk)
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1486,6 +1561,7 @@ def extra_queries() -> dict:
         "media_frame_sample": q_media_frame_sample,
         "docs_winnowing": q_docs_winnowing,
         "docs_simhash_checksum": q_simhash_checksum,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
@@ -1521,6 +1597,7 @@ def extra_oracles() -> dict:
         "docs_winnowing": O_WINNOW,
         "a3_neardedup": O_A3,
         "docs_simhash_checksum": O_SIMHASH_CS,
+        "emb_ivf_topk": O_IVF,
         "emb_ann_lsh": O_ANN,
     }
     if _S10_N_TRIPLES is not None:

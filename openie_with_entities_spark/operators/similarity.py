@@ -120,6 +120,100 @@ def ann_candidates(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 7,
+):
+    """Deterministic IVF coarse quantizer: spherical k-means on a bounded,
+    deterministic sample (lowest vec_ids), run driver-side in numpy.
+
+    The sample collect is broadcast-regime by design — training a coarse
+    quantizer needs thousands of points, not the corpus; at 100 TB you
+    sample with a hash predicate (pmod(xxhash64(vec_id), N) = 0) instead of
+    orderBy/limit, and n_centroids grows to ~sqrt(corpus) per the usual IVF
+    sizing. Lloyd iterations, seeded init, ties broken by index — the same
+    centroids on every run and every cluster."""
+    import numpy as np
+
+    rows = embeddings.orderBy("vec_id").limit(sample).collect()
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def _ivf_cells_udf(centroids, n_probe: int):
+    """Arrow-batched assignment: one matmul per batch against the broadcast
+    centroid matrix; returns each vector's top-n_probe cell ids."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in top])
+
+    return cells
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: the corpus partitions into n_centroids cells
+    (nearest centroid); each query probes its n_probe nearest cells and
+    re-ranks exactly inside them. The scan-beating property: per query only
+    ~n_probe/n_centroids of the corpus is touched, and the cell equi-join
+    is hashable/salt-able like every other join in this engine."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids)
+    from .docops import _spread
+
+    corpus_cells = _ivf_cells_udf(centroids, 1)
+    query_cells = _ivf_cells_udf(centroids, n_probe)
+    emb_c = _spread(embeddings, "vec_id").select(
+        "vec_id", "embedding",
+        F.element_at(corpus_cells(F.col("embedding")), 1).alias("cell"),
+    )
+    q_c = queries.select(
+        "q_id", "q_vec",
+        F.explode(query_cells(F.col("q_vec"))).alias("cell"),
+    )
+    scored = emb_c.join(F.broadcast(q_c), "cell").select(
+        "q_id",
+        "vec_id",
+        F.round(_cosine(F.col("q_vec"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    dedup = scored.groupBy("q_id", "vec_id").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return dedup.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -385,3 +385,40 @@ def test_winnowing_local_similarity(spark):
     sel = {r.doc_id: set(r.s) for r in docs.select("doc_id", selected.alias("s")).collect()}
     assert sel[1] & sel[2], "shared 34-char substring must share a fingerprint hash"
     assert not (sel[1] & sel[3])
+
+
+def test_ivf_topk_clustered_recall_and_pruning(spark):
+    """IVF on clustered geometry: probing 2 of 16 cells must reach
+    recall@10 ≥ 0.9 — the per-query touched fraction is n_probe/n_centroids
+    by construction."""
+    from openie_with_entities_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.where("vec_id % 40 = 0 and vec_id < 200").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, n_centroids=16, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    from openie_with_entities_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = train_ivf_centroids(emb, n_centroids=8)
+    b = train_ivf_centroids(emb.repartition(5), n_centroids=8)
+    import numpy as np
+
+    assert np.allclose(a, b), "centroids must not depend on partitioning"
