@@ -71,8 +71,9 @@ def run_operator_queries(spark, sf_dir: str) -> dict[str, float]:
             t0 = time.monotonic()
             q(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.monotonic() - t0)
-            if samples[-1] > 30.0:
-                break  # genuinely long queries aren't warmup artifacts
+        # ALWAYS two samples: a noise-inflated first run must never be
+        # recorded as-is (round 2 recorded an 81s outlier for a 24s query
+        # exactly because a >30s first sample skipped the second run)
         out[name] = round(min(samples), 3)
     return out
 
