@@ -1530,6 +1530,90 @@ O_IVF = """
 """
 
 
+# --------------------------------------------------------------------------
+# S8 — `.labels` sink end-to-end over the split table (conj split with
+# indices → OIE label rows → per-original-sentence blocks), reproducing
+# get_labels (/root/reference/run.py:246-291) on the M3 fixture. VALUES
+# oracle hand-traced: each split's deterministic-labeler row scatters onto
+# the original positions through sentences_indices; 'Eve nor Bob slept .'
+# (no verb) and 'Eve slept .' emit bare blocks.
+# --------------------------------------------------------------------------
+
+
+def q_s8_labels_sink(spark, sf_dir):
+    from openie_with_entities_spark.extract.stages import (
+        conj_split_stage,
+        oie_labels_stage,
+    )
+    from openie_with_entities_spark.sources.formats import to_labels_blocks
+
+    sents = _m3_sentences(spark)
+    splits = conj_split_stage(sents, partitions=4, with_indices=True)
+    return to_labels_blocks(oie_labels_stage(splits), sents)
+
+
+O_S8_SINK = """
+    SELECT conv_id, turn_idx, sent_idx, block FROM (VALUES
+        ('c0', 0, 0, 'Ada , Bob and Carl visited Paris .' || chr(10) ||
+             'ARG1 NONE NONE NONE NONE REL ARG2 NONE' || chr(10) ||
+             'NONE NONE ARG1 NONE NONE REL ARG2 NONE' || chr(10) ||
+             'NONE NONE NONE NONE ARG1 REL ARG2 NONE'),
+        ('c0', 0, 1, 'Acme and Globex hired Eve .' || chr(10) ||
+             'ARG1 NONE NONE REL ARG2 NONE' || chr(10) ||
+             'NONE NONE ARG1 REL ARG2 NONE'),
+        ('c0', 1, 0, 'Eve nor Bob slept .'),
+        ('c0', 1, 1, 'the distance between Paris and Berlin increased .'
+             || chr(10) || 'ARG1 ARG1 ARG1 ARG1 ARG1 ARG1 REL NONE'),
+        ('c0', 2, 0, 'Eve slept .')
+    ) AS t(conv_id, turn_idx, sent_idx, block)
+"""
+
+
+# --------------------------------------------------------------------------
+# E5 from file — conjunction benchmark end-to-end: gold coordinations decode
+# from a conj `.labels` fixture (read_conj_labels ≙ get_coords on ground
+# truth, /root/reference/metric.py:316-325), predictions come from the conj
+# stage's decode over the same sentences. VALUES oracle hand-derived: gold
+# deliberately merges s1's first two conjuncts ((0,2),(4,4) vs pred
+# (0,0),(2,2),(4,4) — whole agrees, outer/inner/exact do not) and truncates
+# the nor-sentence's right conjunct ((2,2) vs pred (2,3) — nothing agrees);
+# the other two coordinations match exactly → whole 3/4, rest 2/4.
+# --------------------------------------------------------------------------
+
+
+def q_e5_conj_from_labels(spark, sf_dir):
+    from openie_with_entities_spark.evaluate_conj import (
+        coordinations_df,
+        evaluate_conjunctions,
+    )
+    from openie_with_entities_spark.sources.formats import read_conj_labels
+
+    gold = read_conj_labels(
+        spark, os.path.join(FIXTURE_DIR, "conj_gold.labels")
+    )
+    pred = coordinations_df(
+        _m3_sentences(spark).select(F.col("text").alias("sent_key"), "text")
+    )
+    r = evaluate_conjunctions(pred, gold)
+    return spark.createDataFrame(
+        [
+            (
+                r.n_pred, r.n_gold,
+                r.whole[2], r.outer[2], r.inner[2], r.exact[2],
+            )
+        ],
+        "n_pred long, n_gold long, whole_f1 double, outer_f1 double, "
+        "inner_f1 double, exact_f1 double",
+    )
+
+
+O_E5_FROM_LABELS = """
+    SELECT CAST(4 AS BIGINT) AS n_pred, CAST(4 AS BIGINT) AS n_gold,
+           0.75 AS whole_f1, 0.5 AS outer_f1,
+           0.5 AS inner_f1, 0.5 AS exact_f1
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1562,6 +1646,8 @@ def extra_queries() -> dict:
         "docs_winnowing": q_docs_winnowing,
         "docs_simhash_checksum": q_simhash_checksum,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "s8_labels_sink": q_s8_labels_sink,
+        "e5_conj_from_labels": q_e5_conj_from_labels,
     }
 
 
@@ -1599,6 +1685,8 @@ def extra_oracles() -> dict:
         "docs_simhash_checksum": O_SIMHASH_CS,
         "emb_ivf_topk": O_IVF,
         "emb_ann_lsh": O_ANN,
+        "s8_labels_sink": O_S8_SINK,
+        "e5_conj_from_labels": O_E5_FROM_LABELS,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -74,7 +74,10 @@ def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | Non
 
 
 def conj_split_stage(
-    sentences: DataFrame, partitions: int | None = None, backend=None
+    sentences: DataFrame,
+    partitions: int | None = None,
+    backend=None,
+    with_indices: bool = False,
 ) -> DataFrame:
     """sentences → one row per split sentence.
 
@@ -84,6 +87,13 @@ def conj_split_stage(
 
     ``backend``: a labeling backend (extract.backends); the conj model runs
     ONCE per Arrow batch, the reference's batched predict loop shape.
+
+    ``with_indices`` appends two columns the S8 labels sink needs —
+    ``split_indices`` (ascending original-token positions of this split's
+    tokens, the reference's ``sentences_indices[i][j]``,
+    /root/reference/run.py:163-204) and ``n_orig_tokens`` (token count of
+    the original sentence, sentinels excluded); the identity split maps to
+    range(n_orig_tokens) exactly like run.py:255-257.
     """
     backend = backend or DeterministicBackend()
 
@@ -94,6 +104,9 @@ def conj_split_stage(
                 "split_idx": [], "n_splits": [], "split_text": [],
                 "conj_words": [],
             }
+            if with_indices:
+                out["split_indices"] = []
+                out["n_orig_tokens"] = []
             token_lists = [t.split() + SENTINELS for t in pdf["text"]]
             matrices = backend.conj_batch(token_lists)
             for conv_id, turn_idx, sent_idx, text, tokens, matrix in zip(
@@ -101,8 +114,22 @@ def conj_split_stage(
                 token_lists, matrices,
             ):
                 coords = decode_coordinations(matrix)
-                texts, conj_words, _ = split_by_coordinations(coords, tokens)
-                splits = [_strip_sentinels(t) for t in texts] or [text]
+                texts, conj_words, idx_lists = split_by_coordinations(
+                    coords, tokens
+                )
+                n_clean = len(tokens) - len(SENTINELS)
+                if texts:
+                    splits = [_strip_sentinels(t) for t in texts]
+                    # index lists include sentinel positions (they sit past
+                    # every coordination span); the label sink works on the
+                    # clean original sentence, so strip them here
+                    clean_idx = [
+                        [i for i in sorted(s) if i < n_clean]
+                        for s in idx_lists
+                    ]
+                else:
+                    splits = [text]
+                    clean_idx = [list(range(n_clean))]
                 for k, s in enumerate(splits):
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
@@ -111,13 +138,19 @@ def conj_split_stage(
                     out["n_splits"].append(len(splits))
                     out["split_text"].append(s)
                     out["conj_words"].append(conj_words)
+                    if with_indices:
+                        out["split_indices"].append(clean_idx[k])
+                        out["n_orig_tokens"].append(n_clean)
             yield pd.DataFrame(out)
 
+    schema = SPLIT_SCHEMA
+    if with_indices:
+        schema += ", split_indices array<int>, n_orig_tokens int"
     eligible = sentences.where(F.col("eligible")).select(
         "conv_id", "turn_idx", "sent_idx", "text"
     )
     return _partition_for_inference(eligible, "text", partitions).mapInPandas(
-        run, schema=SPLIT_SCHEMA
+        run, schema=schema
     )
 
 
@@ -168,3 +201,72 @@ def oie_stage(
     if partitions:
         narrow = _partition_for_inference(narrow, "split_text", partitions)
     return narrow.mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
+OIE_LABELS_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+    "depth int, labels array<int>"
+)
+
+
+def oie_labels_stage(
+    splits: DataFrame, partitions: int | None = None, backend=None
+) -> DataFrame:
+    """split sentences (with indices — conj_split_stage(with_indices=True))
+    → per-extraction TRAINING-LABEL rows over the ORIGINAL sentence's token
+    positions: the S8 labels-sink projection of
+    /root/reference/run.py:246-291 (get_labels).
+
+    Reference semantics preserved exactly:
+      * depths stop at the first all-zero prediction (run.py:276-277);
+      * an extraction is kept iff its split-side prediction carries an ARG1
+        or REL label anywhere — INCLUDING on sentinel tokens, where the
+        rel_case marker lives (run.py:287-288 checks ``prediction``, not the
+        scattered labels);
+      * split labels scatter onto original positions via the sorted index
+        list, unmapped positions stay NONE (run.py:281-283);
+      * label ids stay raw here — the sink maps {4→ARG2, 5→NONE} at render
+        time (run.py:247), so LOC/TIME survive for other consumers.
+    """
+    backend = backend or DeterministicBackend()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.formats import project_labels_to_original
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "sent_idx": [],
+                "split_idx": [], "depth": [], "labels": [],
+            }
+            token_lists = [t.split() + SENTINELS for t in pdf["split_text"]]
+            labeled = backend.oie_batch(token_lists)
+            for conv_id, turn_idx, sent_idx, split_idx, idxs, n_orig, (rows, _confs) in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
+                pdf["split_idx"], pdf["split_indices"], pdf["n_orig_tokens"],
+                labeled,
+            ):
+                for depth, pred in enumerate(rows):
+                    if sum(pred) == 0:
+                        break
+                    if 1 not in pred and 2 not in pred:
+                        continue
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["sent_idx"].append(sent_idx)
+                    out["split_idx"].append(split_idx)
+                    out["depth"].append(depth)
+                    out["labels"].append(
+                        project_labels_to_original(
+                            list(pred), sorted(int(i) for i in idxs), int(n_orig)
+                        )
+                    )
+            if out["conv_id"]:  # empty object cols can't cast to array<int>
+                yield pd.DataFrame(out)
+
+    narrow = splits.select(
+        "conv_id", "turn_idx", "sent_idx", "split_idx", "split_text",
+        "split_indices", "n_orig_tokens",
+    )
+    if partitions:
+        narrow = _partition_for_inference(narrow, "split_text", partitions)
+    return narrow.mapInPandas(run, schema=OIE_LABELS_SCHEMA)

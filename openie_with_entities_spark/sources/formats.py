@@ -210,3 +210,104 @@ def render_labels(labels_df: DataFrame) -> DataFrame:
             " ",
         ).alias("label_str"),
     )
+
+
+# get_labels' render dict (/root/reference/run.py:247): LOC/TIME folds into
+# ARG2 and TYPE into NONE at RENDER time — ids upstream stay raw
+GET_LABELS_NAMES = ["NONE", "ARG1", "REL", "ARG2", "ARG2", "NONE"]
+
+
+def to_labels_blocks(label_rows: DataFrame, sentences: DataFrame) -> DataFrame:
+    """S8 `.labels` sink, end-to-end: per-extraction label rows over
+    original-token positions (extract.stages.oie_labels_stage) + the
+    original sentences → one text block per original sentence, exactly the
+    block structure get_labels emits (/root/reference/run.py:246-291):
+    the sentence line, then one rendered label line per kept extraction in
+    (split_idx, depth) order. Sentences whose splits produced no keepable
+    extraction still emit their (bare) block — run.py:258 appends the
+    sentence line unconditionally. Join blocks with blank lines for the
+    on-disk file.
+
+    ``sentences`` must be the sentences that were FED to the model (the
+    eligible set) — the reference iterates exactly those."""
+    name_map = F.array(*[F.lit(n) for n in GET_LABELS_NAMES])
+    line = F.array_join(
+        F.transform(F.col("labels"), lambda x: F.element_at(name_map, x + 1)),
+        " ",
+    )
+    keys = ["conv_id", "turn_idx", "sent_idx"]
+    per_ext = label_rows.select(
+        *keys, F.struct("split_idx", "depth", line.alias("line")).alias("e")
+    )
+    agg = per_ext.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("e")).alias("_exts")
+    )
+    lines = F.array_join(
+        F.transform(F.col("_exts"), lambda s: s["line"]), "\n"
+    )
+    return (
+        sentences.select(*keys, "text")
+        .join(agg, keys, "left")
+        .select(
+            *keys,
+            F.when(
+                F.col("_exts").isNull(), F.col("text")
+            ).otherwise(F.concat_ws("\n", F.col("text"), lines)).alias("block"),
+        )
+    )
+
+
+# conj label ids (/root/reference/data.py:410-412); index in this list = id
+CONJ_LABEL_NAMES = ["NONE", "CP", "CP_START", "CC", "SEP", "OTHERS"]
+
+
+def read_conj_labels(spark: SparkSession, path: str) -> DataFrame:
+    """Conjunction GOLD `.labels` file → coordination rows
+    (sent_key, cc, spans, seps) — the converter that lets the reference's
+    conjunction benchmark run end-to-end from a file: gold labels
+    (run.py:379-381 ptb-*.labels defaults) decode through the same
+    ``get_coords`` semantics the metric applies to ground truth
+    (/root/reference/metric.py:316-325), ready for evaluate_conjunctions.
+
+    Parse = read_labels_file's block scan; name→id via array_position on
+    the id-ordered name list (1-based position − 1 ≡ data.py's label_dict);
+    per-sentence matrices decode in an Arrow-batched stage."""
+    import pandas as pd
+
+    from ..functions.decode import decode_coordinations
+
+    names = F.lit(CONJ_LABEL_NAMES)
+    rows = read_labels_file(spark, path).select(
+        "sentence",
+        "depth",
+        F.transform(
+            F.col("labels"),
+            lambda s: (F.array_position(names, s) - 1).cast("int"),
+        ).alias("lab_ids"),
+    )
+    mat = rows.groupBy("sentence").agg(
+        F.array_sort(F.collect_list(F.struct("depth", "lab_ids"))).alias("m")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"sent_key": [], "cc": [], "spans": [], "seps": []}
+            for sent, m in zip(pdf["sentence"], pdf["m"]):
+                matrix = [list(r["lab_ids"]) for r in m]
+                for cc, coord in decode_coordinations(matrix).items():
+                    if coord is None:
+                        continue
+                    out["sent_key"].append(sent)
+                    out["cc"].append(cc)
+                    out["spans"].append(
+                        [{"s": s, "e": e} for (s, e) in coord.spans]
+                    )
+                    out["seps"].append(list(coord.seps))
+            if out["sent_key"]:
+                yield pd.DataFrame(out)
+
+    return mat.mapInPandas(
+        run,
+        schema="sent_key string, cc int, spans array<struct<s:int,e:int>>, "
+        "seps array<int>",
+    )

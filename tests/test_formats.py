@@ -263,3 +263,91 @@ def test_stateful_conversation_progress(spark, tmpdir):
         .collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------- S8
+
+
+def _get_labels_sequential(sents):
+    """Plain-Python twin of get_labels (/root/reference/run.py:246-291):
+    sequential conj-split → per-split OIE predictions → scatter onto the
+    original sentence via sentences_indices → render with the run.py:247
+    dict (4→ARG2, 5→NONE). Returns {sentence_key: block_text}."""
+    from openie_with_entities_spark.extract.labeler import (
+        conj_label_matrix,
+        oie_label_matrix,
+    )
+    from openie_with_entities_spark.functions.decode import (
+        SENTINELS,
+        decode_coordinations,
+        split_by_coordinations,
+    )
+
+    label_dict = {0: "NONE", 1: "ARG1", 2: "REL", 3: "ARG2", 4: "ARG2", 5: "NONE"}
+    blocks = {}
+    for key, text in sents:
+        tokens = text.split() + SENTINELS
+        n_clean = len(text.split())
+        coords = decode_coordinations(conj_label_matrix(tokens))
+        texts, _, idx_lists = split_by_coordinations(coords, tokens)
+        if texts:
+            splits = [t.split("[unused1]")[0].strip() for t in texts]
+            indices = [[i for i in sorted(s) if i < n_clean] for s in idx_lists]
+        else:
+            splits, indices = [text], [list(range(n_clean))]
+        lines = [text]
+        for split_text, idx in zip(splits, indices):
+            rows, _ = oie_label_matrix(split_text.split() + SENTINELS)
+            for prediction in rows:
+                if sum(prediction) == 0:
+                    break
+                if 1 not in prediction and 2 not in prediction:
+                    continue
+                labels = [0] * n_clean
+                for i, orig in enumerate(sorted(idx)):
+                    labels[orig] = prediction[i]
+                lines.append(" ".join(label_dict[x] for x in labels))
+        blocks[key] = "\n".join(lines)
+    return blocks
+
+
+def test_labels_sink_equals_sequential_get_labels(spark):
+    """Engine S8 path (conj_split_stage(with_indices) → oie_labels_stage →
+    to_labels_blocks) reproduces the sequential run.py get_labels walk on
+    coordination-heavy, unbreakable, nor- and verb-free sentences."""
+    from openie_with_entities_spark.contracts import _M3_SENTS, _m3_sentences
+    from openie_with_entities_spark.extract.stages import (
+        conj_split_stage,
+        oie_labels_stage,
+    )
+    from openie_with_entities_spark.sources.formats import to_labels_blocks
+
+    sents = _m3_sentences(spark)
+    splits = conj_split_stage(sents, partitions=4, with_indices=True)
+    got = {
+        (r.conv_id, r.turn_idx, r.sent_idx): r.block
+        for r in to_labels_blocks(oie_labels_stage(splits), sents).collect()
+    }
+    want = _get_labels_sequential(
+        [((c, t, s), txt) for (c, t, s, txt) in _M3_SENTS]
+    )
+    assert got == want
+
+
+def test_read_conj_labels_decodes_gold(spark):
+    """Gold conj .labels blocks decode through get_coords semantics into
+    coordination rows (spans/seps), and the end-to-end file-driven
+    benchmark reproduces the hand-derived scores."""
+    from openie_with_entities_spark.contracts import FIXTURE_DIR
+    from openie_with_entities_spark.sources.formats import read_conj_labels
+
+    gold = read_conj_labels(
+        spark, os.path.join(FIXTURE_DIR, "conj_gold.labels")
+    )
+    rows = {r.sent_key: r for r in gold.collect()}
+    assert len(rows) == 4
+    merged = rows["Ada , Bob and Carl visited Paris ."]
+    assert merged.cc == 3
+    assert [(s.s, s.e) for s in merged.spans] == [(0, 2), (4, 4)]
+    nor = rows["Eve nor Bob slept ."]
+    assert (nor.cc, [(s.s, s.e) for s in nor.spans]) == (1, [(0, 0), (2, 2)])
