@@ -69,28 +69,77 @@ def _edge_checksum(edges: DataFrame):
     return (row.n, row.h)
 
 
+def _driver_components(edge_rows) -> list[tuple[str, str]]:
+    """Union-find over a COLLECTED edge list; union-by-min-root, so each
+    final root is the lexicographic minimum of its component — the same
+    semantics the distributed path produces."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for src, dst in edge_rows:
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 65536
 ) -> DataFrame:
     """edges(src string, dst string) → (node string, component string),
     component = lexicographic min node id in the component.
 
-    Alternating large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"): converges in O(log²) rounds of
-    the component diameter — a 40-hop chain collapses in ~6 rounds where
-    plain neighbor-min propagation needs 40 (measured; that was the first
+    Adaptive, like Spark's own broadcast-vs-shuffle join choice: an edge
+    set at or under ``driver_threshold`` rows (the dictionary-bounded
+    graphs this engine builds — gazetteer aliases × linked surfaces) is
+    collected and solved with union-find in one driver pass, because a
+    distributed fixpoint on a tiny graph is pure scheduling overhead
+    (measured 4-7s for 8 edges vs <1s). Larger graphs run the alternating
+    large-star/small-star loop (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): converges in O(log²) rounds of the component
+    diameter — a 40-hop chain collapses in ~6 rounds where plain
+    neighbor-min propagation needs 40 (measured; that was the first
     implementation here). ``localCheckpoint`` truncates lineage each round;
     convergence = unchanged (count, hash-sum) edge checksum."""
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if e0.count() <= driver_threshold:
+        rows = _driver_components(
+            [(r.src, r.dst) for r in e0.collect()]
+        )
+        # isolated self-loop-only nodes still appear in the node table
+        solo = edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+        comp = spark.createDataFrame(rows, "node string, component string")
+        return solo.join(comp, "node", "left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint()
+    e = e0.localCheckpoint()
     prev = _edge_checksum(e)
-    for _ in range(max_iter):
+    # TWO star rounds per driver cycle: each cycle = one localCheckpoint +
+    # one checksum action, halving driver round-trips per star round (the
+    # fixpoint loop's cost on small graphs is driver actions, not compute;
+    # worst case is one extra pair of cheap star ops after convergence).
+    # Convergence check stays sound: a non-converged edge set strictly
+    # changes every star round (the star potential decreases monotonically),
+    # so equal checksums two rounds apart only happen at the fixpoint.
+    for _ in range((max_iter + 1) // 2):
+        e = _small_star(_large_star(e))
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _edge_checksum(e)
         if cur == prev:

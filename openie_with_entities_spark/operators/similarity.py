@@ -69,17 +69,20 @@ def _band_buckets_udf(n_bands: int, n_planes: int, dim: int):
     higher-order functions are evaluated interpreted per element — measured
     ~10× slower than the BLAS matmul at 48 planes × 64 dims. Weights come
     from a fixed-seed RNG, so buckets are deterministic across workers,
-    partitions, and runs."""
+    partitions, and runs; the matrix is built ONCE in the UDF closure (it
+    ships pickled with the task), not per Arrow batch."""
     import numpy as np
+
+    # int64 bucket packing overflows at 63 sign bits; n_planes anywhere near
+    # that is also far past useful bucket granularity (2^62 buckets)
+    assert n_planes < 63, f"n_planes={n_planes} overflows int64 packing"
+    w = np.random.RandomState(_LSH_WEIGHT_SEED).randn(dim, n_bands * n_planes)
+    pack = 1 << np.arange(n_planes)
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
-        w = np.random.RandomState(_LSH_WEIGHT_SEED).randn(
-            dim, n_bands * n_planes
-        )
         m = np.stack(vecs.to_numpy())  # (batch, dim)
         bits = (m @ w) >= 0  # (batch, bands*planes)
-        pack = 1 << np.arange(n_planes)
         out = bits.reshape(len(m), n_bands, n_planes) @ pack  # (batch, bands)
         return pd.Series(list(out))
 
@@ -128,19 +131,33 @@ def train_ivf_centroids(
     seed: int = 7,
 ):
     """Deterministic IVF coarse quantizer: spherical k-means on a bounded,
-    deterministic sample (lowest vec_ids), run driver-side in numpy.
+    deterministic HASH-PREDICATE sample, run driver-side in numpy.
 
     The sample collect is broadcast-regime by design — training a coarse
-    quantizer needs thousands of points, not the corpus; at 100 TB you
-    sample with a hash predicate (pmod(xxhash64(vec_id), N) = 0) instead of
-    orderBy/limit, and n_centroids grows to ~sqrt(corpus) per the usual IVF
-    sizing. Lloyd iterations, seeded init, ties broken by index — the same
-    centroids on every run and every cluster."""
+    quantizer needs thousands of points, not the corpus. The sample is
+    every vec_id with pmod(xxhash64(vec_id), stride) = 0 where stride
+    targets ``sample`` rows: content-unbiased even on corpora whose ids
+    correlate with content (time-ordered ingests), unlike the previous
+    lowest-vec_id slice. Rows sort by vec_id after collect, so whenever the
+    whole corpus fits the sample budget the training set — and therefore
+    every centroid — is bit-identical to the old formulation. n_centroids
+    clamps to the sample size (k-means cannot seed more centroids than
+    points). At 100 TB n_centroids grows to ~sqrt(corpus) per the usual
+    IVF sizing. Lloyd iterations, seeded init, ties broken by index — the
+    same centroids on every run and every cluster."""
     import numpy as np
 
-    rows = embeddings.orderBy("vec_id").limit(sample).collect()
+    # no LIMIT: the hash-predicate set is already ~sample-sized in
+    # expectation and a LIMIT over an unordered scan would be
+    # nondeterministic; the collect stays bounded (≤ ~2·sample rows)
+    stride = max(1, embeddings.count() // sample)
+    rows = embeddings.where(
+        F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0
+    ).collect()
+    rows.sort(key=lambda r: r.vec_id)
     x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(x))
     rng = np.random.RandomState(seed)
     c = x[rng.choice(len(x), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -218,7 +235,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_bands: int = 16,
-    n_planes: int = 8,
+    n_planes: int = 12,
     dim: int = 64,
     exact: bool = False,
 ) -> DataFrame:
@@ -228,14 +245,15 @@ def embedding_neardup_pairs(
     Default path (the 100 TB shape): multi-band LSH self-join — pairs
     colliding in ANY band are candidates, exact cosine verifies. Defaults
     are tuned for the near-dup regime (θ ≈ 18° at cos 0.95 → p_plane ≈ 0.9
-    → p_band = 0.9^8 ≈ 0.43 → 16-band recall ≈ 0.9999) with random pairs
-    colliding at only (1/2)^8 per band, so candidates stay a few percent of
-    all pairs — narrower/more selective than the top-k defaults because the
-    target similarity is much higher. As with top-k, n_planes must grow
-    with corpus size (≈ log2(N / target_bucket_rows)) or per-bucket
-    self-joins go quadratic: at 10⁹ vectors use r ≈ 24–28, where a cos-0.95
-    neighbor still collides per band at 0.9^r ≈ 0.05–0.08 and recall comes
-    from the band union (B ≈ 64 → ≥ 0.96).
+    → p_band = 0.9^12 ≈ 0.28 → 16-band recall ≈ 0.995, and ≥ 0.999 for the
+    tighter pairs that dominate real near-dup corpora) while random pairs
+    collide at only (1/2)^12 per band — at the sf0.1 corpus (2k vectors)
+    that is ~8k candidate pairs where 8 planes produced ~125k, and the
+    sizing rule below (n_planes ≈ log2(N / target_bucket_rows)) gives
+    exactly 12 for N=2k. n_planes must keep growing with corpus size or
+    per-bucket pair expansion goes quadratic: at 10⁹ vectors use r ≈ 24–28,
+    where a cos-0.95 neighbor still collides per band at 0.9^r ≈ 0.05–0.08
+    and recall comes from the band union (B ≈ 64 → ≥ 0.96).
 
     ``exact=True`` runs the brute-force all-pairs verification instead —
     the small-data oracle twin (this is what the DuckDB oracle replicates).
@@ -244,19 +262,29 @@ def embedding_neardup_pairs(
     if exact:
         pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
     else:
+        # one pass over the banded table: group each (band, bucket) into its
+        # sorted member list and emit the C(m,2) pairs per bucket IN-ROW —
+        # the previous banded self-join ran the Arrow bucket UDF once per
+        # join side and paid two exchanges for the same pairs. Per-bucket m
+        # stays small by construction (n_planes grows with log2(N), the
+        # sizing rule below), so the in-row pair expansion is bounded.
         ab = _banded(embeddings, "embedding", n_bands, n_planes, dim)
+        ids = F.col("ids")
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
         cand = (
-            ab.alias("a")
-            .join(
-                ab.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"),
-            )
+            ab.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
             .distinct()
         )
         pairs = (

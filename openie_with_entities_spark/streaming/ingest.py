@@ -67,6 +67,44 @@ def windowed_turn_counts(
     )
 
 
+def _delete_epoch_dir(spark: SparkSession, base: str, epoch_id: int) -> None:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(base, f"epoch={int(epoch_id)}")
+    )
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def write_epoch(
+    spark: SparkSession, df: DataFrame, epoch_id: int, out_path: str
+) -> int:
+    """One micro-batch's idempotent write (see run_stream_to_table's
+    idempotency contract): rows overwrite this epoch's ``epoch=<id>``
+    partition; a ZERO-row (retried) epoch instead deletes the partition so
+    no previous partial write survives. Lineage always records the epoch.
+    Returns the row count."""
+    df = df.persist()
+    n = df.count()
+    if n == 0:
+        _delete_epoch_dir(spark, os.path.join(out_path, "data"), epoch_id)
+    else:
+        (
+            df.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(os.path.join(out_path, "data"))
+        )
+    spark.createDataFrame(
+        [(int(epoch_id), n)], "epoch long, rows_out long"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch").parquet(os.path.join(out_path, "lineage"))
+    df.unpersist()
+    return n
+
+
 def run_stream_to_table(
     triples_stream: DataFrame,
     out_path: str,
@@ -82,25 +120,14 @@ def run_stream_to_table(
     crash landed between the data write and the checkpoint commit. Each
     epoch therefore dynamically OVERWRITES its own ``epoch=<id>`` partition
     (data and lineage both) — a retry replaces its previous partial output
-    instead of appending a second copy."""
+    instead of appending a second copy. Dynamic overwrite only touches
+    partitions the new write EMITS, so a retry that (after upstream dedup)
+    produces ZERO rows would silently keep a previous partial write — that
+    epoch's directory is deleted explicitly before the no-row short-circuit."""
     spark = triples_stream.sparkSession
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        df = df.persist()
-        n = df.count()
-        (
-            df.withColumn("epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(os.path.join(out_path, "data"))
-        )
-        spark.createDataFrame(
-            [(int(epoch_id), n)], "epoch long, rows_out long"
-        ).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("epoch").parquet(os.path.join(out_path, "lineage"))
-        df.unpersist()
+        write_epoch(spark, df, epoch_id, out_path)
 
     writer = (
         triples_stream.writeStream.outputMode("append")

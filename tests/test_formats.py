@@ -351,3 +351,27 @@ def test_read_conj_labels_decodes_gold(spark):
     assert [(s.s, s.e) for s in merged.spans] == [(0, 2), (4, 4)]
     nor = rows["Eve nor Bob slept ."]
     assert (nor.cc, [(s.s, s.e) for s in nor.spans]) == (1, [(0, 0), (2, 2)])
+
+
+def test_zero_row_epoch_retry_clears_partial_write(spark, tmpdir):
+    """A retried micro-batch that produces ZERO rows must not leave a
+    previous partial write for that epoch behind: dynamic partition
+    overwrite only touches emitted partitions, so the writer deletes the
+    epoch directory explicitly."""
+    from openie_with_entities_spark.streaming.ingest import write_epoch
+
+    out = os.path.join(tmpdir, "table")
+    ddl = "conv_id string, n int"
+    full = spark.createDataFrame([("a", 1), ("b", 2)], ddl)
+    assert write_epoch(spark, full, 0, out) == 2
+    data = os.path.join(out, "data")
+    assert spark.read.parquet(data).count() == 2
+    # retry of epoch 0 yields nothing (e.g. upstream dedup dropped it all)
+    assert write_epoch(spark, spark.createDataFrame([], ddl), 0, out) == 0
+    spark.catalog.refreshByPath(data)
+    assert not os.path.exists(os.path.join(data, "epoch=0"))
+    lineage = {
+        r.epoch: r.rows_out
+        for r in spark.read.parquet(os.path.join(out, "lineage")).collect()
+    }
+    assert lineage == {0: 0}
