@@ -1623,6 +1623,80 @@ O_E5_FROM_LABELS = """
 """
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline: deterministic split / sequence packing / tf-idf
+# --------------------------------------------------------------------------
+
+
+def q_docs_train_split(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import train_split
+
+    return train_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+O_TRAIN_SPLIT = """
+    SELECT doc_id,
+           substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS split_key,
+           CASE WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'train'
+                WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'f3333333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import pack_sequences
+
+    return pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+O_PACK = """
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n
+        FROM documents),
+    c AS (
+        SELECT *, sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM t)
+    SELECT doc_id, source, CAST(n AS INT) AS n_tokens,
+           CAST(floor((cum - n) / 2048) AS BIGINT) AS bin_id
+    FROM c
+"""
+
+
+def q_docs_tfidf_topk(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import tfidf_topk
+
+    return tfidf_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_TFIDF = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    dfx AS (
+        SELECT token, count(DISTINCT doc_id) AS df
+        FROM toks WHERE token <> '' GROUP BY token),
+    s AS (
+        SELECT doc_id, tf.token,
+               round(tf * ln(1 + (SELECT CAST(count(*) AS DOUBLE)
+                                  FROM documents) / df), 4) AS tfidf
+        FROM tf JOIN dfx USING (token))
+    SELECT doc_id, token, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        FROM s) WHERE rk <= 5
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1657,6 +1731,9 @@ def extra_queries() -> dict:
         "emb_ivf_topk": q_emb_ivf_topk,
         "s8_labels_sink": q_s8_labels_sink,
         "e5_conj_from_labels": q_e5_conj_from_labels,
+        "docs_train_split": q_docs_train_split,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_tfidf_topk": q_docs_tfidf_topk,
     }
 
 
@@ -1696,6 +1773,9 @@ def extra_oracles() -> dict:
         "emb_ann_lsh": O_ANN,
         "s8_labels_sink": O_S8_SINK,
         "e5_conj_from_labels": O_E5_FROM_LABELS,
+        "docs_train_split": O_TRAIN_SPLIT,
+        "docs_pack_sequences": O_PACK,
+        "docs_tfidf_topk": O_TFIDF,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

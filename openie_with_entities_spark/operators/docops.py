@@ -16,7 +16,7 @@ Scale notes per operator are in the docstrings; the unifying design is:
 from __future__ import annotations
 
 import pandas as pd  # module level: pandas_udf type hints must resolve
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = [
@@ -121,9 +121,97 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def winnowing_fingerprint(
-    docs: DataFrame, k: int = 8, window: int = 16
+def train_split(
+    docs: DataFrame,
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "v1",
 ) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    of the document KEY — the property a training pipeline needs: stable
+    under reshuffles/re-reads, re-derivable years later from the id alone,
+    changeable only by bumping ``salt``.
+
+    The split compares the md5 hex digest LEXICOGRAPHICALLY against
+    fraction thresholds expressed as hex prefixes (0.9 → 'e6666666': the
+    digest is uniform over [0, 16³²), and hex strings order identically in
+    every engine) — no integer conversion, so the DuckDB oracle reproduces
+    it byte-for-byte. Pure projection: zero shuffle at any scale."""
+
+    def hex_threshold(frac: float, digits: int = 8) -> str:
+        return format(int(frac * (16 ** digits)), f"0{digits}x")
+
+    h = F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8)
+    return docs.select(
+        "doc_id",
+        h.alias("split_key"),
+        F.when(h < hex_threshold(train), F.lit("train"))
+        .when(h < hex_threshold(train + val), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, max_tokens: int = 2048
+) -> DataFrame:
+    """Assign documents to ~max_tokens training bins (sequence packing for
+    a context-window loader): within each SOURCE shard, documents in
+    doc_id order pack greedily by cumulative whitespace-token count —
+    bin = floor((cumsum − n)/max_tokens), the concat-then-chop packing a
+    streaming tokenizer applies.
+
+    Partitioned by ``source`` — the shard key a real corpus already has —
+    so the window never degenerates into a single global sort: each
+    shard's packing is independent, exactly like per-file packing in a
+    production loader. One shuffle (the window exchange), all expressions
+    codegen."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    n = F.size(tokenize(F.col("text")))
+    packed = docs.select(
+        "doc_id", "source", n.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / max_tokens
+        ).cast("long").alias("bin_id"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k tokens by TF·IDF — the standard keyword/topic
+    profile over a corpus. tf = in-document count, idf = ln(1 + N/df)
+    (the +1 keeps ubiquitous tokens finite), score rounded to 4 decimals
+    BEFORE ranking with a token tiebreak so rankings reproduce across
+    engines and summation orders.
+
+    Shape: one explode → two map-combinable aggregates ((doc, token) tf and
+    token df) → broadcast-size df join only for tokens that survive — df
+    is corpus-vocabulary-sized, not corpus-sized, so the join side stays
+    broadcastable far beyond this sandbox."""
+    toks = _spread(docs).select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    n_docs = docs.count()
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
     """Winnowing document fingerprint (the MOSS rolling-hash scheme): hash
     every k-gram, keep the MINIMUM hash of each sliding window of
     ``window`` consecutive k-grams, fingerprint = digest of the selected

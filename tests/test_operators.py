@@ -422,3 +422,56 @@ def test_ivf_centroids_deterministic(spark):
     import numpy as np
 
     assert np.allclose(a, b), "centroids must not depend on partitioning"
+
+
+def test_train_split_is_stable_and_ratioed(spark):
+    """Split assignment is a pure function of (salt, doc_id): identical
+    under re-partitioning, ~90/5/5 over a large id range, and changing the
+    salt reassigns documents (the re-split knob)."""
+    from openie_with_entities_spark.operators.docops import train_split
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    a = {r.doc_id: r.split for r in train_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in train_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    frac_val = sum(v == "val" for v in a.values()) / n
+    assert abs(frac_train - 0.9) < 0.02 and abs(frac_val - 0.05) < 0.01
+    c = {r.doc_id: r.split for r in train_split(docs, salt="v2").collect()}
+    assert c != a
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is per-source, order-deterministic, and every bin except a
+    source's last holds ≥ max_tokens-worth of cumulative text starting at
+    its boundary (concat-then-chop semantics: bin boundaries land every
+    max_tokens cumulative tokens)."""
+    import random
+
+    from openie_with_entities_spark.operators.docops import pack_sequences
+
+    rng = random.Random(3)
+    rows = [
+        (i, f"s{i % 3}", "w " * rng.randint(5, 400))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(docs, max_tokens=512).collect()
+    assert len(out) == 300
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // 512, (src, r)
+            cum += r.n_tokens
+        # bins are contiguous 0..max
+        bins = [r.bin_id for r in rs]
+        assert bins == sorted(bins)
