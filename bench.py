@@ -116,7 +116,13 @@ def _bench_pinned_subprocess(cores: int, sf_dir: str, include_queries: bool) -> 
     # per-job costs (planning, literal build, write dispatch)
     env.setdefault("SPARK_GRAFT_BENCH_CONVS", "96000")
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    lines = out.stdout.strip().splitlines()
+    if not lines:  # surface the subprocess failure, not an IndexError
+        raise RuntimeError(
+            f"bench subprocess (cores={cores}) produced no output "
+            f"(rc={out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -212,6 +212,11 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= k
     )
+
+
+def winnowing_fingerprint(
+    docs: DataFrame, k: int = 8, window: int = 16
+) -> DataFrame:
     """Winnowing document fingerprint (the MOSS rolling-hash scheme): hash
     every k-gram, keep the MINIMUM hash of each sliding window of
     ``window`` consecutive k-grams, fingerprint = digest of the selected
