@@ -184,10 +184,10 @@ def main() -> None:
             "cores": r["cores"],
             "timed_runs": r["timed_runs"],
             # N→4N measurement lives in the pinned `--scaling` mode; the
-            # most recent run is recorded in BASELINE.md §Round-2
+            # most recent run is recorded in BASELINE.md §Round-3
             "scaling_evidence": (
-                "python bench.py --scaling: local[2]=12059, local[8]=43672, "
-                "local[32]=60773 turns/s; 2→8 efficiency 0.905 (see BASELINE.md)"
+                "python bench.py --scaling: local[2]=11532, local[8]=47246, "
+                "local[32]=83936 turns/s; 2→8 efficiency 1.024 (see BASELINE.md)"
             ),
         }
     print(json.dumps(payload))
