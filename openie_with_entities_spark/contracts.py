@@ -1697,6 +1697,92 @@ O_TFIDF = """
 """
 
 
+def q_docs_repetition(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import repetition_stats
+
+    return repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_REPETITION = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+    bi AS (
+        SELECT doc_id, ls, ts,
+               [ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+                FOR i IN range(1, greatest(len(ts), 1))] AS bg
+        FROM base)
+    SELECT doc_id,
+           round((len(ls) - len(list_distinct(ls)))
+                 / greatest(len(ls), 1), 4) AS dup_line_frac,
+           round((len(ts) - len(list_distinct(ts)))
+                 / greatest(len(ts), 1), 4) AS dup_token_frac,
+           round(coalesce(list_max(list_transform(list_distinct(bg),
+                     g -> len(list_filter(bg, x -> x = g)))), 0)
+                 / greatest(len(bg), 1), 4) AS top_bigram_frac
+    FROM bi
+"""
+
+
+def q_docs_pii_scrub(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import pii_scrub
+
+    return pii_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def o_docs_pii_scrub() -> str:
+    from openie_with_entities_spark.operators.docops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+                   '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g')
+                   AS text_scrubbed,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                   AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(regexp_replace(text,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_PHONE_RE}'))
+                   AS INTEGER) AS n_phones
+        FROM documents
+    """
+
+
+def q_docs_contamination(spark, sf_dir):
+    """Screens the corpus against a 'benchmark' made of its own first three
+    documents — deterministic, and guarantees both hit and miss rows."""
+    from openie_with_entities_spark.operators.docops import (
+        contamination_check,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = [
+        r.text for r in docs.where("doc_id < 3").orderBy("doc_id").collect()
+    ]
+    return contamination_check(docs, bench)
+
+
+O_CONTAMINATION = """
+    WITH bt AS (SELECT text FROM documents WHERE doc_id < 3),
+    bsh AS (
+        SELECT DISTINCT substring(text, CAST(i AS INT), 15) AS s
+        FROM bt, unnest(range(1, greatest(length(text) - 14, 1) + 1)) AS t(i)),
+    dsh AS (
+        SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 15) AS s
+        FROM documents,
+             unnest(range(1, greatest(length(text) - 14, 1) + 1)) AS t(i))
+    SELECT d.doc_id,
+           CAST(count(b.s) AS INTEGER) AS n_hits,
+           count(b.s) > 0 AS contaminated
+    FROM dsh d LEFT JOIN bsh b ON d.s = b.s
+    GROUP BY d.doc_id
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1734,6 +1820,9 @@ def extra_queries() -> dict:
         "docs_train_split": q_docs_train_split,
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_tfidf_topk": q_docs_tfidf_topk,
+        "docs_repetition_stats": q_docs_repetition,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_contamination": q_docs_contamination,
     }
 
 
@@ -1776,6 +1865,9 @@ def extra_oracles() -> dict:
         "docs_train_split": O_TRAIN_SPLIT,
         "docs_pack_sequences": O_PACK,
         "docs_tfidf_topk": O_TFIDF,
+        "docs_repetition_stats": O_REPETITION,
+        "docs_pii_scrub": o_docs_pii_scrub(),
+        "docs_contamination": O_CONTAMINATION,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -214,6 +214,109 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules family): the
+    fraction of duplicate lines, the fraction of word bigrams occupied by
+    the single most-frequent bigram, and the overall duplicate-token
+    fraction. High values mark boilerplate/navigation/spam documents that
+    survive corpus-level dedup because each COPY is unique.
+
+    Pure per-row projection over line/token arrays (HOF count-distinct and
+    mode inside the row) — zero shuffle at any scale."""
+    lines = F.filter(F.split("text", "\n"), lambda l: l != F.lit(""))
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+    bigrams = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = F.slice(bigrams, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+
+    def dup_frac(arr):
+        return F.round(
+            (F.size(arr) - F.size(F.array_distinct(arr)))
+            / F.greatest(F.size(arr), F.lit(1)),
+            4,
+        )
+
+    # mode share: count of the most frequent element / total — computed as
+    # a max over per-element counts (O(n²) inside the row; bigram arrays
+    # are sentence-scale, and the row never leaves the executor)
+    top_bigram_n = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(toks).alias("dup_token_frac"),
+        F.round(
+            F.coalesce(top_bigram_n, F.lit(0))
+            / F.greatest(F.size(bigrams), F.lit(1)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# dash LAST inside the class (literal without escaping) — this pattern is
+# also interpolated into Spark SQL string literals, whose parser processes
+# backslash escapes (see BPE_TOKEN_RE above)
+PII_PHONE_RE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+_PHONE_RE_SQL = PII_PHONE_RE.replace("\\", "\\\\")
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails and phone-shaped digit runs with typed placeholders
+    and count the redactions — the standard pre-training privacy pass.
+    Two native regexp passes per row (codegen, zero shuffle). Emails are
+    counted on the original text; phones on the email-scrubbed text, so
+    the phone count always equals the number of <PHONE> substitutions in
+    the final output (a digit run inside an email never double-counts)."""
+    n_email = F.size(F.expr(f"regexp_extract_all(text, '{PII_EMAIL_RE}', 0)"))
+    scrubbed1 = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(
+        F.expr(
+            "regexp_extract_all(regexp_replace(text, "
+            f"'{PII_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE_SQL}', 0)"
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(scrubbed1, PII_PHONE_RE, "<PHONE>").alias(
+            "text_scrubbed"
+        ),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame, benchmark_texts: list[str], k: int = 15
+) -> DataFrame:
+    """Benchmark-contamination screen: which documents share a character
+    k-gram with any benchmark/eval text. The benchmark shingle set ships
+    as a broadcast literal (eval suites are small by definition — here the
+    shingle strings themselves so the DuckDB oracle reproduces the match;
+    at 100 TB swap in their xxhash64 longs, same shape); each document
+    tests its OWN shingle set against it in-row — zero shuffle, one scan.
+    Emits per-doc hit counts; downstream filters on n_hits > 0."""
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        for i in range(max(len(t) - k + 1, 1)):
+            bench.add(t[i : i + k])
+    bench_arr = F.lit(sorted(bench))
+    hits = F.size(
+        F.array_intersect(shingle_array(k), bench_arr)
+    )
+    return docs.select(
+        "doc_id",
+        hits.alias("n_hits"),
+        (hits > 0).alias("contaminated"),
+    )
+
+
 def winnowing_fingerprint(
     docs: DataFrame, k: int = 8, window: int = 16
 ) -> DataFrame:

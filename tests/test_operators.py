@@ -475,3 +475,61 @@ def test_pack_sequences_invariants(spark):
         # bins are contiguous 0..max
         bins = [r.bin_id for r in rs]
         assert bins == sorted(bins)
+
+
+def test_pii_scrub_planted(spark):
+    from openie_with_entities_spark.operators.docops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@example.org or call +1 (415) 555-0199 ."),
+            (1, "no pii here"),
+            (2, "two mails x@y.io z@w.co and 020 7946 0958"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[0].n_emails == 1 and out[0].n_phones == 1
+    assert "<EMAIL>" in out[0].text_scrubbed
+    assert "<PHONE>" in out[0].text_scrubbed
+    assert "415" not in out[0].text_scrubbed
+    assert out[1].n_emails == 0 and out[1].n_phones == 0
+    assert out[1].text_scrubbed == "no pii here"
+    assert out[2].n_emails == 2 and out[2].n_phones == 1
+
+
+def test_repetition_stats_planted(spark):
+    from openie_with_entities_spark.operators.docops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d"),          # 1 dup line of 3
+            (1, "x y x y x y x y"),        # heavy bigram repetition
+            (2, "all unique tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[0].dup_line_frac == round(1 / 3, 4)
+    # 'x y' occupies 4 of 7 bigrams
+    assert out[1].top_bigram_frac == round(4 / 7, 4)
+    assert out[1].dup_token_frac == round(6 / 8, 4)
+    assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 4)
+
+
+def test_contamination_check_planted(spark):
+    from openie_with_entities_spark.operators.docops import (
+        contamination_check,
+    )
+
+    bench = ["the quick brown fox jumps over the lazy dog"]
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix the quick brown fox jumps suffix"),  # shares 15-grams
+            (1, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_check(docs, bench).collect()}
+    assert out[0].contaminated and out[0].n_hits > 0
+    assert not out[1].contaminated and out[1].n_hits == 0
