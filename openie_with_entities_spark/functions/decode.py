@@ -163,6 +163,8 @@ def _drop_unbreakable(coords: dict[int, Coordination], words: list[str]) -> None
     """Remove coordinations preceded (within the inter-coordination window)
     by an 'unbreakable' word like *between*/*sum* — splitting them would
     change meaning."""
+    if not coords:  # hot path: don't scan/lower every word for nothing
+        return
     marks = [i for i, w in enumerate(words) if w.lower() in UNBREAKABLE_WORDS]
     doomed = set()
     window_start = 0
@@ -217,6 +219,8 @@ def split_by_coordinations(
     results mean "no split" — callers treat the original sentence as its
     own (single) split.
     """
+    if not coords:  # the overwhelmingly common no-coordination sentence
+        return [], [], []
     live = {k: v for k, v in coords.items() if v is not None}
     live = {k: v for k, v in live.items() if words[v.cc] not in NO_SPLIT_CCS}
     _drop_unbreakable(live, words)
@@ -259,6 +263,10 @@ def decode_triple(
     loc_time: list[str] = []
     rel_case = 0
     for tok, lab in zip(tokens, labels):
+        if lab == 0:
+            # a NONE label contributes nothing whether or not the token is
+            # a sentinel — skip before the substring scan (hot path)
+            continue
         if "[unused" in tok:
             if lab == 2:
                 rel_case = int(tok[len("[unused") : -1])
