@@ -1783,6 +1783,49 @@ O_CONTAMINATION = """
 """
 
 
+def q_docs_neardup_clusters(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import neardup_clusters
+
+    return neardup_clusters(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# brute-force Jaccard pairs + recursive transitive closure + per-node min
+# (string comparison, matching the CC operator's node domain)
+def o_docs_neardup_clusters() -> str:
+    from __spark_entry__ import _SHINGLES_CTE
+
+    return f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT CAST(doc_a AS VARCHAR) AS src, CAST(doc_b AS VARCHAR) AS dst
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+        sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        SELECT d.doc_id,
+               CAST(coalesce(
+                   least(CAST(d.doc_id AS VARCHAR), min(r.dst)),
+                   CAST(d.doc_id AS VARCHAR)) AS BIGINT) AS keeper_doc_id,
+               CAST(d.doc_id AS VARCHAR) = coalesce(
+                   least(CAST(d.doc_id AS VARCHAR), min(r.dst)),
+                   CAST(d.doc_id AS VARCHAR)) AS is_kept
+        FROM documents d
+        LEFT JOIN reach r ON r.src = CAST(d.doc_id AS VARCHAR)
+        GROUP BY d.doc_id
+    """
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1823,6 +1866,7 @@ def extra_queries() -> dict:
         "docs_repetition_stats": q_docs_repetition,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_contamination": q_docs_contamination,
+        "docs_neardup_clusters": q_docs_neardup_clusters,
     }
 
 
@@ -1868,6 +1912,7 @@ def extra_oracles() -> dict:
         "docs_repetition_stats": O_REPETITION,
         "docs_pii_scrub": o_docs_pii_scrub(),
         "docs_contamination": O_CONTAMINATION,
+        "docs_neardup_clusters": o_docs_neardup_clusters(),
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

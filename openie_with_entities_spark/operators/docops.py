@@ -662,6 +662,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame, k: int = 15, threshold: float = 0.5
+) -> DataFrame:
+    """End-to-end near-duplicate DEDUP over the corpus: exact-Jaccard pairs
+    (ngram_jaccard_pairs — LSH-free candidate pruning + exact verify) →
+    connected components (transitive closure: A~B, B~C dedups A,B,C
+    together even when J(A,C) < t) → keeper = the lexicographically
+    smallest doc id per cluster. Every document gets a row; singletons
+    keep themselves.
+
+    This is the composition a training-data pipeline actually runs —
+    pairs alone under-dedup because near-duplication is transitive in
+    practice (chains of boilerplate revisions). Component ids compare as
+    STRINGS (the CC operator's node domain); keeper choice is therefore
+    deterministic but lexicographic — at 100 TB the CC runs the
+    star-contraction path, the pair table being orders of magnitude
+    smaller than the corpus."""
+    from ..canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, k, threshold)
+    comps = connected_components(
+        pairs.select(
+            F.col("doc_a").cast("string").alias("src"),
+            F.col("doc_b").cast("string").alias("dst"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.coalesce("component", F.col("node"))
+            .cast("long")
+            .alias("keeper_doc_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("keeper_doc_id"))
+    )
+
+
 def simhash64(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens using xxhash64 bit votes.
 

@@ -533,3 +533,33 @@ def test_contamination_check_planted(spark):
     out = {r.doc_id: r for r in contamination_check(docs, bench).collect()}
     assert out[0].contaminated and out[0].n_hits > 0
     assert not out[1].contaminated and out[1].n_hits == 0
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C must dedup all three together even when J(A,C) is below
+    threshold — the transitivity pairs alone cannot express."""
+    from openie_with_entities_spark.operators.docops import (
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    a = base
+    b = base[:-12] + " extra tail here"       # close to a
+    c = b[: len(b) // 2] + " totally different second half of text"  # close to b only
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "unrelated content entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    out = {r.doc_id: r for r in neardup_clusters(docs, threshold=0.3).collect()}
+    if (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs:
+        # the designed case: chain collapses to one cluster
+        assert out[1].keeper_doc_id == out[2].keeper_doc_id == out[3].keeper_doc_id == 1
+    # invariants hold regardless of exact pair structure
+    assert out[9].is_kept and out[9].keeper_doc_id == 9
+    for r in out.values():
+        assert r.is_kept == (r.doc_id == r.keeper_doc_id)
