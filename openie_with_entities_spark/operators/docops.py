@@ -238,21 +238,36 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             4,
         )
 
-    # mode share: count of the most frequent element / total — computed as
-    # a max over per-element counts (O(n²) inside the row; bigram arrays
-    # are sentence-scale, and the row never leaves the executor)
-    top_bigram_n = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-        )
+    # mode share: count of the most frequent element = the longest run of
+    # equal adjacents in the SORTED array — one aggregate pass per row
+    # (an earlier O(n²) distinct×filter formulation paid ~n² interpreted
+    # lambda evaluations per row: 14s vs <1s at sf0.1)
+    sorted_bg = F.array_sort(bigrams)
+    run_n = lambda a, x: F.when(  # noqa: E731 - local expr builder
+        x == a["prev"], a["run"] + 1
+    ).otherwise(F.lit(1))
+    top_bigram_n = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run_n(a, x).alias("run"),
+            F.greatest(a["best"], run_n(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
     )
     return docs.select(
         "doc_id",
         dup_frac(lines).alias("dup_line_frac"),
         dup_frac(toks).alias("dup_token_frac"),
         F.round(
-            F.coalesce(top_bigram_n, F.lit(0))
+            F.coalesce(
+                F.when(top_bigram_n > 0, top_bigram_n), F.lit(0)
+            )
             / F.greatest(F.size(bigrams), F.lit(1)),
             4,
         ).alias("top_bigram_frac"),
@@ -681,7 +696,10 @@ def neardup_clusters(
     smaller than the corpus."""
     from ..canonicalize import connected_components
 
-    pairs = ngram_jaccard_pairs(docs, k, threshold)
+    # materialize the (tiny) pair table once: CC's convergence loop takes
+    # several actions over it, each of which would otherwise re-run the
+    # whole candidate+verify pipeline
+    pairs = ngram_jaccard_pairs(docs, k, threshold).localCheckpoint()
     comps = connected_components(
         pairs.select(
             F.col("doc_a").cast("string").alias("src"),
