@@ -117,3 +117,55 @@ def test_snap_objects_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_train_split_and_scrub_are_pure_projections(spark):
+    """The per-row corpus ops must plan as a single scan + projection:
+    no exchange of any kind."""
+    from openie_with_entities_spark.operators.docops import (
+        pii_scrub,
+        train_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    for op in (train_split, pii_scrub):
+        plan = plan_of(op(docs))
+        assert "Exchange" not in plan, (op.__name__, plan)
+        assert "Join" not in plan, (op.__name__, plan)
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing shuffles exactly once — the per-source window — and never
+    falls into a single global sort partition."""
+    from openie_with_entities_spark.operators.docops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "w " * 10) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    plan = plan_of(pack_sequences(docs))
+    assert len(re.findall(r"Exchange ", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_jaccard_candidate_join_is_hash_join_on_longs(spark):
+    """The prefix self-join must be a broadcast/shuffled HASH join keyed on
+    the 8-byte shingle hash — never a nested-loop join, and no string
+    shingles in the join output."""
+    from openie_with_entities_spark.operators.docops import (
+        jaccard_prefix_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text content here")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(jaccard_prefix_candidates(docs))
+    assert "NestedLoop" not in plan, plan
+    # equi-join keyed on the hash: SMJ pre-AQE (no stats on the
+    # checkpointed RDD), converted to BroadcastHashJoin at runtime
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "shingle" not in plan, plan  # candidates carry hashes only
