@@ -112,10 +112,12 @@ def connected_components(
     convergence = unchanged (count, hash-sum) edge checksum."""
     spark = edges.sparkSession
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    if e0.count() <= driver_threshold:
-        rows = _driver_components(
-            [(r.src, r.dst) for r in e0.collect()]
-        )
+    # ONE job decides the path and feeds the fast path: collect at most
+    # threshold+1 rows — if the limit wasn't hit we already hold the whole
+    # edge set (a separate count() would re-run the distinct shuffle)
+    probe = e0.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        rows = _driver_components([(r.src, r.dst) for r in probe])
         # isolated self-loop-only nodes still appear in the node table
         solo = edges.select(F.col("src").alias("node")).union(
             edges.select(F.col("dst").alias("node"))

@@ -1305,10 +1305,11 @@ def q_emb_neardup(spark, sf_dir):
 
 
 # NOTE data/seed coupling: this oracle demands EXACT equality between the
-# probabilistic LSH path and brute force. At 16 bands × 8 planes a pair at
-# exactly cos 0.95 slips past all bands with p ≈ 1e-4, so the equality gate
-# is guaranteed only for THIS testdata + the fixed hyperplane seed (where
-# every true pair comfortably clears the banding). On regenerated data a
+# probabilistic LSH path and brute force. At the 16-band × 12-plane default
+# a pair at exactly cos 0.95 slips past all bands with p ≈ 5e-3
+# ((1 − 0.9^12)^16), so the equality gate is guaranteed only for THIS
+# testdata + the fixed hyperplane seed (whose true pairs are exact
+# duplicates, cos 1.0 — they collide in EVERY band). On regenerated data a
 # boundary pair could make this row red with the code still correct — the
 # distribution-level recall ≥ 0.9 guarantee lives in
 # tests/test_operators.py. Keep both: this row pins determinism, the pytest

@@ -275,10 +275,14 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# dash LAST inside the class (literal without escaping) — this pattern is
-# also interpolated into Spark SQL string literals, whose parser processes
-# backslash escapes (see BPE_TOKEN_RE above)
+# dash LAST inside the class (literal without escaping) — these patterns
+# are also interpolated into Spark SQL string literals, whose parser
+# processes backslash escapes (see BPE_TOKEN_RE above), so EVERY pattern
+# used inside F.expr needs its backslashes doubled: an unescaped '\\.'
+# becomes '.' there, silently broadening the match ('user@mail-com' would
+# count as an email that the strict scrub then never redacts)
 PII_PHONE_RE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+_EMAIL_RE_SQL = PII_EMAIL_RE.replace("\\", "\\\\")
 _PHONE_RE_SQL = PII_PHONE_RE.replace("\\", "\\\\")
 
 
@@ -289,12 +293,14 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     counted on the original text; phones on the email-scrubbed text, so
     the phone count always equals the number of <PHONE> substitutions in
     the final output (a digit run inside an email never double-counts)."""
-    n_email = F.size(F.expr(f"regexp_extract_all(text, '{PII_EMAIL_RE}', 0)"))
+    n_email = F.size(
+        F.expr(f"regexp_extract_all(text, '{_EMAIL_RE_SQL}', 0)")
+    )
     scrubbed1 = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
     n_phone = F.size(
         F.expr(
             "regexp_extract_all(regexp_replace(text, "
-            f"'{PII_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE_SQL}', 0)"
+            f"'{_EMAIL_RE_SQL}', '<EMAIL>'), '{_PHONE_RE_SQL}', 0)"
         )
     )
     return docs.select(
@@ -393,7 +399,11 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     The partition-count probe (plan→RDD conversion) runs ONCE per distinct
     logical plan and is memoized on the analyzed plan's semanticHash —
     operators invoked repeatedly over the same source (every bench/driver
-    run) previously re-planned the RDD conversion on each call."""
+    run) previously re-planned the RDD conversion on each call. Known
+    limitation: the cache has no path-content invalidation, so a session
+    that REWRITES a parquet path with very different sizing should clear
+    _SPREAD_CACHE (worst case is a redundant or missing rebalance, never a
+    wrong result)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * 2
     try:
@@ -585,16 +595,19 @@ def jaccard_prefix_candidates(
     map-combinable df aggregate and the prefix equi-join itself — and both
     move 8-byte hashes, never shingle strings. Hash TIES between distinct
     shingles cannot lose a pair (the join key IS the hash: whichever tied
-    element lands in the prefix emits the key the theorem demands), and a
-    collision inside the per-row distinct (P ≈ 1e-12 per corpus) can only
-    perturb the PRUNE — verification recomputes Jaccard from string sets."""
+    element lands in the prefix emits the key the theorem demands). The
+    entire pipeline — prune AND the downstream verification — runs in hash
+    space, so an xxhash64 collision (P ≈ 1e-12 per corpus) could perturb a
+    verified count by one; the string-exact twin is the brute-force oracle
+    the driver compares against every round."""
     if df_map is None:
         df_map = common_shingle_df(docs, k)
     bc = docs.sparkSession.sparkContext.broadcast(df_map)
-    frac = 1.0 - threshold
 
     @F.pandas_udf("array<long>")
     def prefix_of(hsets: pd.Series) -> pd.Series:
+        import math
+
         import numpy as np
 
         dfm = bc.value
@@ -602,7 +615,12 @@ def jaccard_prefix_candidates(
         for arr in hsets:
             a = np.asarray(arr, dtype=np.int64)
             m = len(a)
-            p = int(frac * m) + 1  # == floor((1-t)*m)+1 for m ≥ 0, t ≤ 1
+            # theorem prefix length m − ⌈t·m⌉ + 1, with an epsilon guard on
+            # the float product: 0.9*10 is 9.000000000000002 in binary, so
+            # a bare ceil would overcount ⌈t·m⌉ and UNDERCOUNT the prefix,
+            # silently losing boundary pairs (J exactly t). Erring the
+            # other way (a one-longer prefix) is always lossless.
+            p = m - math.ceil(threshold * m - 1e-9) + 1
             dfs = np.fromiter(
                 (dfm.get(int(h), 1) for h in a), dtype=np.int64, count=m
             )
@@ -618,14 +636,18 @@ def jaccard_prefix_candidates(
         F.size("_h").alias("n_sh"),
         F.explode(prefix_of(F.col("_h"))).alias("h"),
     ).localCheckpoint()
+    # size filter with the same epsilon guard: J ≥ t implies t·|A| ≤ |B| in
+    # EXACT arithmetic, but float t·|A| can land just above the true
+    # rational (0.9·10 → 9.000000000000002 > 9) and reject a boundary pair
+    t_eps = threshold - 1e-9
     return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
+            & (F.col("b.n_sh") >= t_eps * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t_eps * F.col("b.n_sh")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

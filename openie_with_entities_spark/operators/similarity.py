@@ -263,28 +263,37 @@ def embedding_neardup_pairs(
         pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
     else:
         # one pass over the banded table: group each (band, bucket) into its
-        # sorted member list and emit the C(m,2) pairs per bucket IN-ROW —
-        # the previous banded self-join ran the Arrow bucket UDF once per
-        # join side and paid two exchanges for the same pairs. Per-bucket m
-        # stays small by construction (n_planes grows with log2(N), the
-        # sizing rule below), so the in-row pair expansion is bounded.
+        # sorted member list, then a TWO-LEVEL generate — posexplode the
+        # anchors, explode each anchor's tail slice — emits the C(m,2)
+        # pairs per bucket. The previous banded self-join ran the Arrow
+        # bucket UDF once per join side and paid two exchanges; a
+        # flatten-all-pairs-into-one-array variant was rejected because a
+        # degenerate hot bucket (m near-identical vectors) would
+        # materialize all m²/2 structs in a single row — the nested
+        # Generates stream pairs with O(m) memory per in-flight row.
+        # Per-bucket m stays small when n_planes follows the log2(N)
+        # sizing rule below; a corpus of near-identical vectors should use
+        # exact=True (it IS one duplicate class).
         ab = _banded(embeddings, "embedding", n_bands, n_planes, dim)
-        ids = F.col("ids")
-        pair_arr = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
-        cand = (
+        with_ids = (
             ab.groupBy("band", "bucket")
             .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
             .where(F.size("ids") >= 2)
-            .select(F.explode(pair_arr).alias("p"))
-            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        )
+        anchors = with_ids.select(
+            "ids", F.posexplode("ids").alias("i", "id_a")
+        )
+        cand = (
+            anchors.select(
+                "id_a",
+                F.explode(
+                    F.slice(
+                        "ids",
+                        F.col("i") + 2,
+                        F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+                    )
+                ).alias("id_b"),
+            )
             .distinct()
         )
         pairs = (

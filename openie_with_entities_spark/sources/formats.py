@@ -294,6 +294,13 @@ def read_conj_labels(spark: SparkSession, path: str) -> DataFrame:
             out = {"sent_key": [], "cc": [], "spans": [], "seps": []}
             for sent, m in zip(pdf["sentence"], pdf["m"]):
                 matrix = [list(r["lab_ids"]) for r in m]
+                if any(x < 0 for row in matrix for x in row):
+                    # array_position returns 0 (→ −1) for names outside the
+                    # vocabulary; decoding would silently drop the block
+                    raise ValueError(
+                        "unknown conjunction label name in gold .labels "
+                        f"block for sentence: {sent!r}"
+                    )
                 for cc, coord in decode_coordinations(matrix).items():
                     if coord is None:
                         continue

@@ -563,3 +563,41 @@ def test_neardup_clusters_transitive_chain(spark):
     assert out[9].is_kept and out[9].keeper_doc_id == 9
     for r in out.values():
         assert r.is_kept == (r.doc_id == r.keeper_doc_id)
+
+
+def test_pii_email_strict_dot_in_counts(spark):
+    """The count expressions run through Spark SQL string literals, whose
+    parser eats single backslashes: an unescaped '\\.' would broaden to
+    'any char' and count 'user@mail-com' as an email that the strict
+    scrubber never redacts (count/scrub divergence)."""
+    from openie_with_entities_spark.operators.docops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "write to john@mail-com please"), (1, "real a@b.co here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[0].n_emails == 0
+    assert out[0].text_scrubbed == "write to john@mail-com please"
+    assert out[1].n_emails == 1 and "<EMAIL>" in out[1].text_scrubbed
+
+
+def test_jaccard_exact_boundary_pair_not_lost(spark):
+    """A pair at EXACTLY the threshold must survive: with |A|=10, |B|=9,
+    B ⊂ A, J = 9/10 = 0.9 — float artifacts in the prefix length
+    (int(0.0999..*10)+1 = 1) and the size filter (9 >= 0.9*10 =
+    9.000000000000002) each used to drop it silently."""
+    from openie_with_entities_spark.operators.docops import (
+        ngram_jaccard_pairs,
+    )
+
+    a = "abcdefghijklmnopqrstuvwx"  # 24 chars → 10 distinct 15-gram shingles
+    b = a[:-1]                       # 23 chars → 9, all shared
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 0.9}, got
