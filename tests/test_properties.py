@@ -147,7 +147,7 @@ def test_jaccard_prefix_filter_exactness_fuzz(spark):
             ngram_jaccard_pairs,
         )
 
-        for t in (0.5, 0.8):
+        for t in (0.5, 0.8, 0.9):
             got = {
                 (r.doc_a, r.doc_b, r.jaccard)
                 for r in ngram_jaccard_pairs(docs, threshold=t).collect()
