@@ -540,6 +540,16 @@ def _alias_values() -> str:
     )
 
 
+def _alias_values_full() -> str:
+    from openie_with_entities_spark.corpus import gazetteer_rows
+
+    return ", ".join(
+        f"({_sql_str(r['surface_form'])}, {_sql_str(r['entity_id'])}, "
+        f"{_sql_str(r['canonical_name'])}, {r['prior']})"
+        for r in gazetteer_rows()
+    )
+
+
 _SHINGLES_CTE = """
 sh AS (
     SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 15) AS shingle
@@ -752,9 +762,15 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY conv_id, turn_idx, sent_idx, sentence
         """,
         "a8_snap_objects": f"""
-            WITH alias(surface_form, canonical_name) AS (VALUES {_alias_values()}),
+            WITH alias(surface_form, entity_id, canonical_name, prior)
+                AS (VALUES {_alias_values_full()}),
             best_alias AS (
-                SELECT surface_form, max(canonical_name) AS canonical_name
+                -- max-prior disambiguation with entity_id tiebreak, the
+                -- engine's _best_alias_per_surface semantics
+                SELECT surface_form,
+                       (max(struct_pack(p := prior, e := entity_id,
+                                        c := canonical_name)))['c']
+                           AS canonical_name
                 FROM alias GROUP BY surface_form),
             t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
               arg1, rel, arg2, confidence) AS (VALUES {_triples_values()}),

@@ -164,6 +164,10 @@ def carb_pr(
     key_cols = key_cols or ["sent_key"]
     spark = gold_df.sparkSession
 
+    if "confidence" not in pred_df.columns:
+        # the docstring's "confidence … optional" contract: default 1.0,
+        # matching fold()'s per-row fallback
+        pred_df = pred_df.withColumn("confidence", F.lit(1.0))
     thresholds = sorted(
         r[0]
         for r in pred_df.select("confidence").distinct().collect()
@@ -221,6 +225,10 @@ def carb_pr(
         .collect()
     )
 
+    if not sums:
+        # every group was prediction-only (empty gold slice): the reference
+        # returns zeros here (carb.py catches the empty-curve ValueError)
+        return CarbResult(0.0, 0.0, 0.0, 0.0, 0.0)
     precs = [r.pn / r.pd_ if r.pd_ > 0 else 1.0 for r in sums]
     recs = [r.rn / r.rd if r.rd > 0 else 0.0 for r in sums]
     f1s = [2 * p * r / (p + r) if p + r > 0 else 0.0 for p, r in zip(precs, recs)]

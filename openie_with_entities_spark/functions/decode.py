@@ -84,10 +84,14 @@ def decode_coordinations(label_matrix: list[list[int]]) -> dict[int, Coordinatio
     A coordination closes (and registers, keyed by its cc index) when a
     NONE/CP_START label arrives while ≥2 conjunct spans are collected and the
     cc sits strictly between the first span's end and the last span's start.
-    A CC label with no open phrase registers a dangling ``None`` marker.
-    Later depths may overwrite the same cc key. Insertion order is
-    significant downstream (it drives split ordering) and follows
-    close-time order per depth.
+    An UNDER-FORMED phrase (too few conjuncts, or no valid cc yet) survives
+    a NONE label and keeps accumulating — the reference clears ``cp`` only
+    inside the successful-registration branch (metric.py:217-227), so
+    labels like [2,1,0,1,3,1,0] still register one coordination spanning
+    the gap; a fresh CP_START always replaces it. A CC label with no open
+    phrase registers a dangling ``None`` marker. Later depths may overwrite
+    the same cc key. Insertion order is significant downstream (it drives
+    split ordering) and follows close-time order per depth.
     """
     coords: dict[int, Coordination | None] = {}
     for depth, labels in enumerate(label_matrix):
@@ -104,7 +108,7 @@ def decode_coordinations(label_matrix: list[list[int]]) -> dict[int, Coordinatio
                     coords[phrase["cc"]] = Coordination(
                         phrase["cc"], tuple(spans), depth, tuple(phrase["seps"])
                     )
-                phrase = None
+                    phrase = None
             if lab == 1:
                 if not open_span:
                     open_span, span_start = True, i

@@ -226,26 +226,31 @@ def snap_objects(
     ×n_salt and the candidate side salts deterministically, bounding any
     hot suffix ("paris" in boilerplate objects) to 1/n_salt of a reducer,
     the same skew treatment as link_mentions_salted."""
-    canon = alias.groupBy("surface_form").agg(
-        F.max("canonical_name").alias("canonical_name")
+    # same disambiguation as every other linking path (max prior, entity_id
+    # tiebreak) — a lexicographic max(canonical_name) here once let the
+    # SAME surface resolve to different entities in one pipeline
+    canon = _best_alias_per_surface(alias).select(
+        "surface_form", "canonical_name"
     )
     if n_salt is None:
         canon = F.broadcast(canon)
     key = ["conv_id", "turn_idx", "sent_idx", "split_idx", "ext_idx"]
     toks = F.filter(F.split(F.col("arg2"), " "), lambda t: t != "")
-    with_toks = triples.select(*key, toks.alias("_toks"))
-    # one candidate row per suffix length j (j capped by the token count;
-    # empty arg2 yields the empty suffix, which the join condition drops)
+    # empty/whitespace-only arg2 can never snap — and must be excluded
+    # BEFORE the suffix explode (a forced _j=1 on zero tokens made the
+    # prefix slice length negative, which Spark rejects at runtime); the
+    # final left join restores those triples untouched
+    with_toks = triples.select(*key, toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    # one candidate row per suffix length j (j capped by the token count)
     cand = with_toks.select(
         *key,
         "_toks",
         F.explode(
             F.sequence(
                 F.lit(1),
-                F.greatest(
-                    F.least(F.lit(max_surface_tokens), F.size("_toks")),
-                    F.lit(1),
-                ),
+                F.least(F.lit(max_surface_tokens), F.size("_toks")),
             )
         ).alias("_j"),
     ).select(

@@ -19,6 +19,7 @@ import os
 import time
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,15 +62,31 @@ class CheckpointManager:
     def completed_buckets(self, stage: str) -> set[int]:
         _, lineage = self._paths(stage)
         try:
-            return {
+            done = {
                 r.bucket
                 for r in self.spark.read.parquet(lineage)
                 .select("bucket")
                 .distinct()
                 .collect()
             }
-        except Exception:
-            return set()
+        except AnalysisException as e:
+            # ONLY a missing lineage path means "first run"; a corrupt or
+            # unreadable lineage must fail loudly — treating it as empty
+            # would silently reprocess completed buckets and double-append
+            # lineage rows
+            if "PATH_NOT_FOUND" in str(e):
+                return set()
+            raise
+        bad = {b for b in done if b >= self.n_buckets}
+        if bad:
+            raise ValueError(
+                f"lineage for stage {stage!r} contains bucket ids {sorted(bad)} "
+                f">= n_buckets={self.n_buckets}; the checkpoint was written "
+                "with a different bucket count — resuming would silently "
+                "skip unprocessed data. Re-run with the original n_buckets "
+                "or delete the stage directory."
+            )
+        return done
 
     def run_stage(
         self, stage: str, inp: DataFrame, transform, key: str = "conv_id"

@@ -67,7 +67,11 @@ def build_kg(
     annotate join); without a barrier Catalyst recomputes the whole
     extraction DAG once per consumer — measured 2× the work. In production
     the barrier is the per-stage checkpoint table (plans.checkpoint); here a
-    persist() gives the same cut."""
+    persist() gives the same cut. OWNERSHIP: the persisted handle is
+    returned as ``KGResult.triples`` and is NEVER unpersisted here — a
+    caller looping over many corpora in one session must call
+    ``result.triples.unpersist()`` when done or cached barriers accumulate
+    in executor storage (evicted only by LRU)."""
     from ..extract.mentions import detect_mentions
     from ..linking import link_mentions, link_triples
 

@@ -55,8 +55,11 @@ def run_production(
     'salted' (dictionary too big to broadcast: modular mention stage +
     salted shuffle join — the hot-entity skew path)."""
     mgr = CheckpointManager(spark, out_dir, n_buckets=n_buckets)
-    surfaces = dictionary_surfaces(alias)
     counters = StageCounters(spark, "fused_extract", FUSED_COUNTERS)
+    # the driver-side surface collect happens ONLY on the inline
+    # (broadcast-regime) path — salted mode exists precisely because the
+    # dictionary is too big to collect/broadcast
+    surfaces = None if link_mode == "salted" else dictionary_surfaces(alias)
 
     def extract(pending: DataFrame) -> DataFrame:
         if link_mode == "salted":
@@ -123,10 +126,15 @@ def run_production(
     )
     metrics_path = os.path.join(out_dir, "metrics")
     violations.write.mode("overwrite").parquet(metrics_path)
-    # stage counters (accumulators filled while the extract stage ran)
-    counters.to_df(spark).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "stage_counters")
-    )
+    # stage counters (accumulators filled while the extract stage ran).
+    # Write ONLY when the fused stage actually executed this run: a fully
+    # resumed run (every bucket skipped) and the salted path (which never
+    # touches these accumulators) would otherwise overwrite the previous
+    # run's real counters with zeros.
+    if link_mode != "salted" and run.buckets_processed > 0:
+        counters.to_df(spark).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "stage_counters")
+        )
 
     return ProductionResult(
         triples=triples,

@@ -199,3 +199,23 @@ def test_coordination_seps_collected():
     words = ["A", ",", "B", "and", "C", "went"]
     texts, _, _ = split_by_coordinations(coords, words)
     assert sorted(texts) == ["A went", "B went", "C went"]
+
+
+def test_underformed_phrase_survives_none_label():
+    """Reference parity (metric.py:217-227): cp clears only on SUCCESSFUL
+    registration, so a phrase with one conjunct survives an intervening
+    NONE and keeps accumulating — [2,1,0,1,3,1,0] registers one
+    coordination at cc=4 spanning the gap."""
+    from openie_with_entities_spark.functions.decode import (
+        decode_coordinations,
+    )
+
+    coords = decode_coordinations([[2, 1, 0, 1, 3, 1, 0]])
+    assert set(coords) == {4}
+    c = coords[4]
+    assert c.spans == ((0, 1), (3, 3), (5, 5))
+
+    # a fresh CP_START still replaces an under-formed phrase
+    coords2 = decode_coordinations([[2, 1, 0, 2, 1, 3, 1, 0]])
+    assert set(coords2) == {5}
+    assert coords2[5].spans == ((3, 4), (6, 6))

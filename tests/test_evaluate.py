@@ -74,3 +74,20 @@ class TestCompare:
         gold = [Ext("r", ["a", "b"])]
         contrib = sentence_contributions(gold, [], [0.5])
         np.testing.assert_allclose(contrib[0], [0, 0, 0, 1])
+
+
+def test_carb_pr_empty_gold_and_missing_confidence(spark):
+    """Prediction-only input returns zeros (reference carb.py behavior),
+    and a pred_df without a confidence column gets the documented 1.0
+    default instead of an unresolved-column error."""
+    from openie_with_entities_spark.evaluate import carb_pr
+
+    ddl = "sent_key string, arg1 string, rel string, arg2 string"
+    gold = spark.createDataFrame([], ddl)
+    pred = spark.createDataFrame([("s1", "a", "r", "b")], ddl)
+    r = carb_pr(gold, pred)
+    assert (r.zero_conf_precision, r.zero_conf_recall, r.auc) == (0.0, 0.0, 0.0)
+
+    gold2 = spark.createDataFrame([("s1", "a", "r", "b")], ddl)
+    r2 = carb_pr(gold2, pred)
+    assert r2.zero_conf_f1 == 1.0

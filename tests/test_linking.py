@@ -255,3 +255,28 @@ def test_snap_objects_salted_equals_broadcast(spark, aliases):
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snap_objects_empty_arg2_no_crash(spark):
+    """Triples with empty/whitespace arg2 (legal from decode_extractions)
+    must pass through snap_objects untouched — a forced suffix explode on
+    zero tokens used to make the prefix slice length negative and crash."""
+    from openie_with_entities_spark.corpus import alias_dict
+    from openie_with_entities_spark.linking import snap_objects
+
+    t = spark.createDataFrame(
+        [
+            ("c0", 0, 0, 0, 0, "Bob", "joined", "", 0.9),
+            ("c0", 0, 0, 0, 1, "Bob", "met", "   ", 0.8),
+            ("c0", 0, 0, 0, 2, "Eve", "visited", "sunny Paris", 0.7),
+        ],
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double",
+    )
+    rows = {
+        r.ext_idx: (r.rel_snapped, r.arg2_snapped)
+        for r in snap_objects(t, alias_dict(spark)).collect()
+    }
+    assert rows[0] == ("joined", "")
+    assert rows[1] == ("met", "   ")
+    assert rows[2][1] == "Paris"

@@ -104,3 +104,21 @@ def test_cli_smoke(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "triples=" in res.stdout
+
+
+def test_resume_with_wrong_bucket_count_fails_loudly(spark, tmp_path):
+    """Resuming a checkpoint with a smaller n_buckets than the run that
+    wrote the lineage must raise, not silently skip unprocessed data."""
+    import pytest
+
+    from openie_with_entities_spark.plans.checkpoint import CheckpointManager
+
+    base = str(tmp_path / "ckpt")
+    mgr32 = CheckpointManager(spark, base, n_buckets=32)
+    inp = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(50)], "conv_id string, v int"
+    )
+    mgr32.run_stage("s", inp, lambda df: df)
+    mgr16 = CheckpointManager(spark, base, n_buckets=16)
+    with pytest.raises(ValueError, match="different bucket count"):
+        mgr16.run_stage("s", inp, lambda df: df)
