@@ -32,6 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import functions as F
 
 SEED = 42
 
@@ -98,10 +99,12 @@ def gazetteer_rows() -> list[dict]:
 
 def normalize_surface(s: str) -> str:
     """Lowercase + strip punctuation, the reference's predicate/surface
-    normalization (/root/reference/scripts/pubmed_analysis.py:22-25)."""
-    import re
+    normalization. SHARED with the mention detector — dictionary surfaces
+    and detected mentions must normalize through the same function or
+    every dictionary match silently breaks."""
+    from .extract.mentions import normalize_surface as _norm
 
-    return re.sub(r"[^\w\s]", "", s.lower()).strip()
+    return _norm(s)
 
 
 # ------------------------------------------------------------- sentence bank
@@ -171,6 +174,10 @@ TRANSCRIPT_SCHEMA = (
 
 def _gen_conv(conv: int, seed: int) -> list[dict]:
     rows = []
+    # NOTE: (conv · odd) % 8 ≡ conv % 8, so turn counts cycle 3..10 with
+    # period 8 over conv ids — deterministic and fine for throughput
+    # benchmarks, but do NOT stride conversations by multiples of 8 in a
+    # skew experiment (every slab would see one constant turn count)
     n_turns = 3 + (conv * 2654435761) % 8  # 3..10 turns, deterministic
     for t in range(n_turns):
         rng = random.Random(f"{seed}:{conv}:{t}")  # str-seed: hash-salt-free
@@ -221,8 +228,11 @@ def alias_dict(spark: SparkSession) -> DataFrame:
 
 
 def write_corpus(spark: SparkSession, path: str, n_convs: int, seed: int = SEED) -> None:
-    """Materialize the corpus partitioned the way the 100 TB table would be:
-    hash-bucketed by conv_id so every downstream stage's repartition on
-    conv_id lines up with the file layout."""
+    """Materialize the corpus partitioned the way the 100 TB table would
+    be: files hash-clustered by conv_id (repartition before write), so a
+    downstream conv_id repartition reads co-located conversations."""
     df = generate_transcripts(spark, n_convs, seed)
-    df.write.mode("overwrite").parquet(os.path.join(path, "transcripts.parquet"))
+    parallelism = spark.sparkContext.defaultParallelism
+    df.repartition(parallelism, F.col("conv_id")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "transcripts.parquet"))

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..functions.decode import SENTINELS
 from .labeler import MAX_CONJ_DEPTH, conj_label_matrix, oie_label_matrix
 from .neural import DepthModel, NeuralConfig, neural_label_matrices
 
@@ -66,14 +65,13 @@ class NeuralBackend:
         )
 
     def conj_batch(self, token_lists):
-        res = self._run(
-            token_lists, self.conj_cfg, self.conj_model or self.model
-        )
+        # NEVER fall back to the OIE model: its label vocabulary (ARG1=1,
+        # REL=2, …) would be silently misread as conj labels (CP=1,
+        # CP_START=2, …), producing garbage splits. conj_model=None means
+        # "load the conj checkpoint per worker" (conj_cfg), exactly like
+        # model=None on the OIE side.
+        res = self._run(token_lists, self.conj_cfg, self.conj_model)
         return [matrix for (matrix, _confs) in res]
 
     def oie_batch(self, token_lists):
         return self._run(token_lists, self.oie_cfg, self.model)
-
-
-def with_sentinels(text: str) -> list[str]:
-    return text.split() + SENTINELS

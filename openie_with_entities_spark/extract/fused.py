@@ -118,7 +118,6 @@ def fused_extract_stage(
             # expand coordinations into split sentences
             split_meta: list = []  # (sent row id, split_idx)
             split_tokens: list[list[str]] = []
-            n_splits_per_sent: list[int] = []
             for row_id, (tokens, matrix) in enumerate(
                 zip(token_lists, matrices)
             ):
@@ -128,7 +127,6 @@ def fused_extract_stage(
                     sent_meta[row_id][3]
                 ]
                 n_splits += len(splits)
-                n_splits_per_sent.append(len(splits))
                 for split_idx, split in enumerate(splits):
                     split_meta.append((row_id, split_idx))
                     split_tokens.append(split.split() + SENTINELS)

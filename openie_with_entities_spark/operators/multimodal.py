@@ -64,25 +64,45 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "image decode requires PIL/libjpeg — not installed; "
             "use fake=True for the deterministic stand-in"
         )
-    # deterministic fake: 16-bin byte histogram, L1-normalized
-    arr = np.frombuffer(payload, dtype=np.uint8)
+    # deterministic fake: 16-bin byte histogram, L1-normalized (null
+    # payloads featurize as empty bytes → the zero vector)
+    arr = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
     hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
     return hist / max(hist.sum(), 1.0)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Batched feature extraction; payload column dropped on output."""
+    """Batched feature extraction; payload column dropped on output.
+
+    Per-kind dispatch seam: the fake byte-histogram doubles as the feature
+    stand-in for EVERY kind (the payload bytes are the only signal the
+    sandbox has); a real upgrade swaps each kind's branch for its decoder
+    (PIL / torchaudio / pyav) without touching the batch plumbing. Null
+    payloads featurize as empty bytes instead of crashing the stage —
+    MEDIA_SCHEMA declares payload nullable."""
+
+    def feature_of(kind: str, payload) -> list:
+        p = payload if payload is not None else b""
+        if fake:
+            return decode_image(p, fake=True).tolist()
+        raise NotImplementedError(  # pragma: no cover - real-decoder seam
+            f"real {kind} feature extraction requires the {kind} decoder"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_image(p, fake=fake).tolist() for p in pdf["payload"]
+                feature_of(k, p)
+                for k, p in zip(pdf["kind"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf["payload"]
+                    ],
                     "feature": feats,
                 }
             )
@@ -99,7 +119,9 @@ def resize_image(payload: bytes, width: int, height: int, fake: bool = False) ->
             "image resize requires PIL — not installed; use fake=True"
         )
     n = max(width * height, 1)
-    arr = np.frombuffer(payload, dtype=np.uint8)
+    arr = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
+    if len(arr) == 0:  # truncated/empty blob → empty thumbnail, not a crash
+        return b""
     idx = (np.arange(n) * len(arr)) // n
     return arr[idx].tobytes()
 
@@ -153,7 +175,11 @@ def sample_frames(
             for mid, payload, dur in zip(
                 vid["media_id"], vid["payload"], vid["duration_ms"]
             ):
-                n = min(int(dur) // every_ms + 1, max_frames)
+                # nullable metadata: unknown duration samples the t=0 frame
+                # only; a null payload slices as empty bytes
+                payload = payload if payload is not None else b""
+                dur = 0 if pd.isna(dur) else int(dur)
+                n = min(dur // every_ms + 1, max_frames)
                 for k in range(n):
                     lo = (k * len(payload)) // max(n, 1)
                     hi = ((k + 1) * len(payload)) // max(n, 1)

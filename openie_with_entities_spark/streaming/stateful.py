@@ -36,8 +36,11 @@ def _update(
     turns, max_idx = state.get if state.exists else (0, -1)
     for pdf in pdfs:
         turns += len(pdf)
-        if len(pdf):
-            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        # nullable turn_idx: an all-null batch makes .max() NaN and
+        # int(NaN) would kill the stream — count the rows, skip the index
+        idx = pdf["turn_idx"].dropna()
+        if len(idx):
+            max_idx = max(max_idx, int(idx.max()))
     state.update((turns, max_idx))
     yield pd.DataFrame(
         [{"conv_id": conv_id, "turns_seen": turns, "max_turn_idx": max_idx, "closed": False}]

@@ -601,3 +601,28 @@ def test_jaccard_exact_boundary_pair_not_lost(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
     }
     assert got == {(1, 2): 0.9}, got
+
+
+def test_multimodal_null_payload_and_duration(spark):
+    """Nullable payload/duration rows (legal per MEDIA_SCHEMA) must not
+    crash the batched stages: null payloads featurize/thumbnail as empty,
+    unknown durations sample only the t=0 frame."""
+    from openie_with_entities_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (0, "image", None, None, None, None),
+        (1, "video", b"\x01\x02\x03\x04", None, None, None),
+        (2, "image", b"", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert feats[0].n_bytes == 0 and sum(feats[0].feature) == 0.0
+    thumbs = {r.media_id: r for r in resize_images(media, fake=True).collect()}
+    assert thumbs[0].payload == b"" and thumbs[2].payload == b""
+    frames = sample_frames(media, fake=True).collect()
+    assert [(f.media_id, f.frame_idx, f.t_ms) for f in frames] == [(1, 0, 0)]
