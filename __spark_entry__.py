@@ -781,7 +781,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT toks.*, j,
                        trim(regexp_replace(regexp_replace(
                            lower(array_to_string(tk[len(tk) - j + 1:], ' ')),
-                           '[^\\w\\s]', '', 'g'), ' +', ' ', 'g')) AS suffix,
+                           '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'), ' +', ' ', 'g')) AS suffix,
                        trim(array_to_string(tk[1:len(tk) - j], ' ')) AS prefix
                 FROM toks, unnest([1, 2, 3, 4]) AS u(j)
                 WHERE j <= greatest(len(tk), 1)),

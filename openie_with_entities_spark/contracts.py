@@ -316,7 +316,7 @@ def o_p8() -> str:
         SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx, arg_pos,
                string_agg(token, ' ' ORDER BY pos) AS mention,
                trim(regexp_replace(lower(string_agg(token, ' ' ORDER BY pos)),
-                    '[^\\w\\s]', '', 'g')) AS surface_norm,
+                    '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')) AS surface_norm,
                CAST(min(pos) AS INT) AS begin_word,
                CAST(max(pos) AS INT) AS end_word
         FROM isl
@@ -764,7 +764,7 @@ def o_a5() -> str:
             SELECT conv_id, turn_idx, sent_idx, split_idx, ext_idx,
                    trim(regexp_replace(regexp_replace(
                        lower(array_to_string(toks[i:i+j-1], ' ')),
-                       '[^\\w\\s]', '', 'g'), ' +', ' ', 'g')) AS gram
+                       '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'), ' +', ' ', 'g')) AS gram
             FROM tk, unnest(range(1, len(toks) + 1)) AS s(i),
                  unnest([1, 2, 3, 4]) AS l(j)),
         c3_keys AS (
@@ -1166,7 +1166,7 @@ def o_p15() -> str:
         WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
                arg1, rel, arg2, confidence) AS (VALUES {_triples_values()},
                ('c9', 0, 0, 0, 0, 'X', 'Joined!', 'Y', 0.5))
-        SELECT trim(regexp_replace(lower(rel), '[^\\w\\s]', '', 'g')) AS predicate,
+        SELECT trim(regexp_replace(lower(rel), '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')) AS predicate,
                count(*) AS cnt
         FROM t GROUP BY 1
     """

@@ -41,15 +41,23 @@ def _prf(matches: int, n_pred: int, n_gold: int) -> tuple[float, float, float]:
 
 
 def _inner_pair(spans, cc):
-    """The conjunct just before and just after the cc index."""
+    """The conjunct just before and just after the cc index. Both sides use
+    try_element_at: ANSI mode is ON (Spark 4 default) and a malformed/
+    external gold row with no conjunct before or after the cc must compare
+    as null, not abort the evaluation job."""
     before = F.filter(spans, lambda s: s["e"] < cc)
     after = F.filter(spans, lambda s: s["s"] > cc)
     return F.struct(
-        F.element_at(before, -1).alias("l"), F.try_element_at(after, F.lit(1)).alias("r")
+        F.try_element_at(before, F.lit(-1)).alias("l"),
+        F.try_element_at(after, F.lit(1)).alias("r"),
     )
 
 
 def evaluate_conjunctions(pred: DataFrame, gold: DataFrame) -> ConjScores:
+    # persist for the duration of the call: counts + the join would
+    # otherwise re-run each side's (model-labeling) lineage twice
+    pred = pred.persist()
+    gold = gold.persist()
     n_pred = pred.count()
     n_gold = gold.count()
 
@@ -84,6 +92,8 @@ def evaluate_conjunctions(pred: DataFrame, gold: DataFrame) -> ConjScores:
         F.sum(inner.cast("long")).alias("inner"),
         F.sum(exact.cast("long")).alias("exact"),
     ).collect()[0]
+    pred.unpersist()
+    gold.unpersist()
 
     return ConjScores(
         n_pred=n_pred,

@@ -194,9 +194,13 @@ def _norm_phrase(col):
     """Surface normalization for multi-token phrases: lowercase, strip
     punctuation, collapse/trim whitespace (matches corpus.normalize_surface
     applied to a token join)."""
+    # \p{L}\p{N}_ mirrors the PYTHON \w the dictionary side uses
+    # (extract.mentions.normalize_surface) — Java's bare \w is ASCII-only
+    # and would normalize 'Beyoncé' to 'beyonc', so non-ASCII entities
+    # could never equi-join their dictionary surface forms
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(col), r"[^\w\s]", ""), " +", " "
+            F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}_\s]", ""), " +", " "
         )
     )
 

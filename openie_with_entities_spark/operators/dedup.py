@@ -18,14 +18,22 @@ from pyspark.sql import functions as F
 SENT_KEY = ["conv_id", "turn_idx", "sent_idx"]
 
 
-def dedup_triples(raw: DataFrame) -> DataFrame:
-    """Keep the first-inserted extraction per (sentence, arg1, arg2, rel):
+def dedup_triples(raw: DataFrame, order_cols: list | None = None) -> DataFrame:
+    """Keep the first-inserted extraction per (sentence, extraction key):
     first by split order, then by depth order — the reference's insertion
-    order. A plain ``dropDuplicates`` would be nondeterministic about which
-    duplicate's confidence survives."""
-    w = Window.partitionBy(*SENT_KEY, "arg1", "arg2", "rel").orderBy(
-        "split_idx", "ext_idx"
-    )
+    order. The key is the CONCATENATED "arg1 arg2 rel" string, exactly
+    ``contains_extraction``'s equality (/root/reference/metric.py:251-256)
+    and ``functions.decode.extraction_key`` — keying on the column TUPLE
+    would keep boundary-shifted variants ("He likes"/"tea" vs
+    "He"/"likes tea") that the reference, the fused stage, and the oracle
+    all treat as one extraction. A plain ``dropDuplicates`` would be
+    nondeterministic about which duplicate's confidence survives.
+
+    ``order_cols`` overrides the insertion-order tiebreak (used by
+    merge_extraction_sets to make file order the first key)."""
+    order_cols = order_cols or ["split_idx", "ext_idx"]
+    key = F.concat_ws(" ", "arg1", "arg2", "rel")
+    w = Window.partitionBy(*SENT_KEY, key.alias("_k")).orderBy(*order_cols)
     return (
         raw.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -33,11 +41,15 @@ def dedup_triples(raw: DataFrame) -> DataFrame:
     )
 
 
-def topk_triples(triples: DataFrame, k: int = 5) -> DataFrame:
+def topk_triples(
+    triples: DataFrame, k: int = 5, order_cols: list | None = None
+) -> DataFrame:
     """Top-k extractions per original sentence by confidence (ties broken
-    deterministically by insertion order)."""
+    deterministically by insertion order; ``order_cols`` overrides the
+    tiebreak columns)."""
+    order_cols = order_cols or ["split_idx", "ext_idx"]
     w = Window.partitionBy(*SENT_KEY).orderBy(
-        F.col("confidence").desc(), "split_idx", "ext_idx"
+        F.col("confidence").desc(), *order_cols
     )
     return (
         triples.withColumn("rank", F.row_number().over(w))
@@ -54,9 +66,12 @@ def neardedup_triples(triples: DataFrame) -> DataFrame:
     Per sentence: pairwise SequenceMatcher ratio > 0.9 on the
     'args + pred' string drops the shorter (by distinct-word-count)
     extraction; pairs touching a conjunct word are exempt (coordination
-    splits are legitimately similar). Quadratic within a sentence, bounded
-    by the ≤5-extractions-per-sentence guard → applyInPandas per sentence
-    group, never distributed further."""
+    splits are legitimately similar). The exemption needs a ``conj_words``
+    column (the split table carries it; a bare triples table does not —
+    join it on before calling, or coordination-split extractions may be
+    near-deduped away). Quadratic within a sentence, bounded by the
+    ≤5-extractions-per-sentence guard → applyInPandas per sentence group,
+    never distributed further."""
     import difflib
 
     import pandas as pd
@@ -66,8 +81,13 @@ def neardedup_triples(triples: DataFrame) -> DataFrame:
 
     def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["split_idx", "ext_idx"]).reset_index(drop=True)
+        # split-and-rejoin collapses whitespace, exactly the reference's
+        # (' '.join(args) + ' ' + pred).split() → ' '.join(...) strings —
+        # an empty arg2 must not leave a double space that shifts the
+        # SequenceMatcher ratio around the 0.9 boundary
         strs = [
-            f"{r.arg1} {r.arg2} {r.rel}" for r in pdf.itertuples()
+            " ".join(f"{r.arg1} {r.arg2} {r.rel}".split())
+            for r in pdf.itertuples()
         ]
         conj_words = set()
         if has_conj:
@@ -96,7 +116,10 @@ def predicate_frequency(triples: DataFrame) -> DataFrame:
     """Normalized-predicate frequency ranking
     (/root/reference/scripts/pubmed_analysis.py:22-31): lowercase,
     punctuation-stripped rel → count desc."""
-    norm = F.trim(F.lower(F.regexp_replace("rel", r"[^\w\s]", "")))
+    # \p{L}\p{N}_ ≈ the reference's PYTHON \w (unicode-aware); Java's
+    # bare \w is ASCII-only and would strip accented predicate letters
+    # ('café' → 'caf'), merging distinct predicates
+    norm = F.trim(F.lower(F.regexp_replace("rel", r"[^\p{L}\p{N}_\s]", "")))
     return (
         triples.groupBy(norm.alias("predicate"))
         .agg(F.count("*").alias("cnt"))
@@ -108,5 +131,14 @@ def merge_extraction_sets(a: DataFrame, b: DataFrame, k: int = 5) -> DataFrame:
     """Union two extraction tables, dedup by extraction identity, re-rank —
     the reference's merge_output_files flow
     (/root/reference/utils/merge_output_files.py:13-85)."""
-    merged = a.unionByName(b, allowMissingColumns=True)
-    return topk_triples(dedup_triples(merged), k)
+    # first-FILE-wins: without a source ordinal, a duplicate present in
+    # both inputs with identical (split_idx, ext_idx) would tie in the
+    # keep-first window and survive nondeterministically (with whichever
+    # confidence partition order produced)
+    merged = a.withColumn("_src", F.lit(0)).unionByName(
+        b.withColumn("_src", F.lit(1)), allowMissingColumns=True
+    )
+    order = ["_src", "split_idx", "ext_idx"]
+    return topk_triples(
+        dedup_triples(merged, order_cols=order), k, order_cols=order
+    ).drop("_src")

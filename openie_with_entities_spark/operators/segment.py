@@ -6,7 +6,13 @@ turns, so segmentation becomes part of the engine: split the
 whitespace-pre-tokenized turn text after sentence-terminator tokens,
 ``posexplode`` to one row per sentence, and normalize quotes
 (/root/reference/data.py:429-432) into a separate column so the raw text can
-be losslessly reassembled per turn (the per-turn text equality invariant).
+be reassembled per turn (the per-turn text equality invariant). Scope of
+that invariant: turns that are null/empty or consist only of separator
+whitespace produce no sentence rows (they carry nothing to extract), and a
+trailing separator space after the final terminator token is not preserved
+— reassembly is exact for every turn with content, modulo that trailing
+space. The corpus generator emits neither case with content to lose; the
+equality test in tests/test_pipeline.py pins the invariant on real input.
 
 The ≤100-token guard (/root/reference/data.py:284, counted including the 3
 sentinel tokens the reference appends) becomes an ``eligible`` flag rather

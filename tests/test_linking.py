@@ -280,3 +280,25 @@ def test_snap_objects_empty_arg2_no_crash(spark):
     assert rows[0] == ("joined", "")
     assert rows[1] == ("met", "   ")
     assert rows[2][1] == "Paris"
+
+
+def test_snap_objects_unicode_surface(spark):
+    """Non-ASCII dictionary surfaces must normalize identically on both
+    sides of the equi-join: Java's ASCII \\w used to strip the accent from
+    the candidate suffix ('beyoncé' → 'beyonc') while the Python-built
+    dictionary kept it, so such entities never matched."""
+    from openie_with_entities_spark.linking import snap_objects
+
+    alias = spark.createDataFrame(
+        [("beyoncé", "E1", "Beyoncé", "PER", 0.9)],
+        "surface_form string, entity_id string, canonical_name string, "
+        "ner_type string, prior double",
+    )
+    t = spark.createDataFrame(
+        [("c0", 0, 0, 0, 0, "Fans", "praised", "the singer Beyoncé", 0.9)],
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double",
+    )
+    row = snap_objects(t, alias).collect()[0]
+    assert row.arg2_snapped == "Beyoncé"
+    assert row.rel_snapped == "praised the singer"

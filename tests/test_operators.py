@@ -626,3 +626,24 @@ def test_multimodal_null_payload_and_duration(spark):
     assert thumbs[0].payload == b"" and thumbs[2].payload == b""
     frames = sample_frames(media, fake=True).collect()
     assert [(f.media_id, f.frame_idx, f.t_ms) for f in frames] == [(1, 0, 0)]
+
+
+def test_dedup_triples_boundary_shifted_key(spark):
+    """dedup keys on the concatenated 'arg1 arg2 rel' string exactly like
+    the reference's contains_extraction — boundary-shifted variants
+    ('He likes'/'tea' vs 'He'/'likes tea') are ONE extraction."""
+    from openie_with_entities_spark.operators.dedup import dedup_triples
+
+    t = spark.createDataFrame(
+        [
+            ("c0", 0, 0, 0, 0, "He likes", "is", "tea", 0.9),
+            ("c0", 0, 0, 0, 1, "He", "is", "likes tea", 0.8),
+            ("c0", 0, 0, 0, 2, "He", "is", "coffee", 0.7),
+        ],
+        "conv_id string, turn_idx int, sent_idx int, split_idx int, "
+        "ext_idx int, arg1 string, rel string, arg2 string, confidence double",
+    )
+    rows = dedup_triples(t).collect()
+    assert len(rows) == 2
+    kept = {r.ext_idx for r in rows}
+    assert kept == {0, 2}  # first-inserted variant survives
