@@ -186,8 +186,8 @@ def main() -> None:
             # N→4N measurement lives in the pinned `--scaling` mode; the
             # most recent run is recorded in BASELINE.md §Round-3
             "scaling_evidence": (
-                "python bench.py --scaling: local[2]=11532, local[8]=47246, "
-                "local[32]=83936 turns/s; 2→8 efficiency 1.024 (see BASELINE.md)"
+                "python bench.py --scaling: local[2]=12493, local[8]=55520, "
+                "local[32]=98101 turns/s; 2→8 efficiency 1.111 (see BASELINE.md)"
             ),
         }
     print(json.dumps(payload))
