@@ -620,7 +620,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s5_regex_extract": """
             SELECT event_id,
-                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+                   TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
             FROM events
         """,
         "e5_join_sum_when": """

@@ -201,7 +201,9 @@ def q_p4_wordpiece_align(spark, sf_dir):
 
 
 def o_p4() -> str:
-    values = ", ".join(f"({i}, '{s}')" for i, s in _P4_SENTS)
+    from __spark_entry__ import _sql_str
+
+    values = ", ".join(f"({i}, {_sql_str(s)})" for i, s in _P4_SENTS)
     return f"""
         WITH s(sent_id, sentence) AS (VALUES {values}),
         w AS (
@@ -243,7 +245,13 @@ def q_p6_verb_mask(spark, sf_dir):
     is_verb = F.array_contains(lex, F.col("token")) | (
         F.col("token").endswith("ed")
         & (F.length("token") > 4)
-        & F.substring("token", 1, 1).rlike("[a-z]")
+        # unicode-aware "first char is lowercase" — the labeler uses
+        # Python islower(), and an ASCII [a-z] class would diverge on
+        # accented initials
+        & (
+            F.substring("token", 1, 1)
+            != F.upper(F.substring("token", 1, 1))
+        )
     )
     return toks.select(
         "sent_id", "pos", "token", is_verb.cast("int").alias("is_verb")
@@ -253,7 +261,9 @@ def q_p6_verb_mask(spark, sf_dir):
 def o_p6() -> str:
     from openie_with_entities_spark.extract.labeler import VERB_LEXICON
 
-    values = ", ".join(f"({i}, '{s}')" for i, s in _P6_SENTS)
+    from __spark_entry__ import _sql_str
+
+    values = ", ".join(f"({i}, {_sql_str(s)})" for i, s in _P6_SENTS)
     lex = "[" + ", ".join(f"'{w}'" for w in sorted(VERB_LEXICON)) + "]"
     return f"""
         WITH s(sent_id, sentence) AS (VALUES {values}),
@@ -265,7 +275,8 @@ def o_p6() -> str:
         SELECT sent_id, CAST(pos AS INT) AS pos, token,
                CAST(list_contains({lex}, token)
                     OR (token LIKE '%ed' AND length(token) > 4
-                        AND substring(token, 1, 1) BETWEEN 'a' AND 'z')
+                        AND substring(token, 1, 1)
+                            <> upper(substring(token, 1, 1)))
                     AS INT) AS is_verb
         FROM t
     """
@@ -303,7 +314,8 @@ def o_p8() -> str:
                    generate_subscripts(string_split(txt, ' '), 1) - 1 AS pos
             FROM args),
         caps AS (
-            SELECT *, substring(token, 1, 1) BETWEEN 'A' AND 'Z'
+            SELECT *, substring(token, 1, 1)
+                          <> lower(substring(token, 1, 1))
                       AND NOT list_contains(
                           ['.', ',', '!', '?', ';', ':', '''''', '''',
                            '``', '(', ')'], token) AS cap
@@ -357,7 +369,11 @@ def q_p10_char_to_word(spark, sf_dir):
 
 
 def o_p10() -> str:
-    values = ", ".join(f"({c}, '{s}', {o})" for c, s, o in _P10_FIXTURE)
+    from __spark_entry__ import _sql_str
+
+    values = ", ".join(
+        f"({c}, {_sql_str(s)}, {o})" for c, s, o in _P10_FIXTURE
+    )
     return f"""
         WITH s(case_id, sentence, char_off) AS (VALUES {values}),
         t AS (
@@ -623,10 +639,18 @@ def q_m4_oie_stage(spark, sf_dir):
 
 
 def o_m4() -> str:
+    """SQL twin scoped to the fixture's semantics: lexicon verbs and '.'
+    punctuation only. The labeler's -ed heuristic, full PUNCT set, and the
+    copular role-noun depth are deliberately NOT re-derived here (they are
+    pinned by p6/p12 and the sequential-oracle pytest) — extending
+    _M4_SPLITS beyond that envelope requires extending this twin too."""
     from openie_with_entities_spark.extract.labeler import VERB_LEXICON
 
+    from __spark_entry__ import _sql_str
+
     values = ", ".join(
-        f"('{c}', {t}, {s}, {sp}, '{txt}')" for c, t, s, sp, txt in _M4_SPLITS
+        f"({_sql_str(c)}, {t}, {s}, {sp}, {_sql_str(txt)})"
+        for c, t, s, sp, txt in _M4_SPLITS
     )
     lex = "[" + ", ".join(f"'{w}'" for w in sorted(VERB_LEXICON)) + "]"
     # the labeler's depth-d extraction: d-th lexicon verb v → arg1 = non-punct
@@ -989,13 +1013,15 @@ def q_s10_checkpoint_resume(spark, sf_dir):
     from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
     from openie_with_entities_spark.plans.production import run_production
 
+    import shutil
+
     out = tempfile.mkdtemp(prefix="s10_contract_")
     t = generate_transcripts(spark, 20)
     first = run_production(spark, t, alias_dict(spark), out, n_buckets=8)
     n_triples = first.triples.count()
     second = run_production(spark, t, alias_dict(spark), out, n_buckets=8)
     lineage = spark.read.parquet(os.path.join(out, "triples", "lineage"))
-    return spark.createDataFrame(
+    result = spark.createDataFrame(
         [
             (
                 first.buckets_processed, first.buckets_skipped,
@@ -1008,6 +1034,10 @@ def q_s10_checkpoint_resume(spark, sf_dir):
         "second_skipped int, n_triples long, n_triples_resumed long, "
         "n_lineage_buckets long",
     )
+    # every scalar above is already collected — the checkpoint dir (full
+    # pipeline parquet output) would otherwise leak per run
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 def o_s10(n_triples: int) -> str:
