@@ -1857,6 +1857,44 @@ def o_docs_neardup_clusters() -> str:
     """
 
 
+def q_docs_prepare_corpus(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import prepare_corpus
+
+    return prepare_corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def o_docs_prepare_corpus() -> str:
+    from openie_with_entities_spark.operators.docops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+    from __spark_entry__ import _STOPLIST_SQL
+
+    return f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+                       '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g')
+                       AS text_clean,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   round(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({_STOPLIST_SQL}, t)))
+                         / len(string_split(text, ' ')), 4) AS stop_ratio,
+                   (len(string_split(text, ' ')) >= 10
+                    AND len(string_split(text, ' ')) <= 100000
+                    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                        / len(string_split(text, ' ')) < 0.3) AS quality_keep
+            FROM documents),
+        keepers AS (
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text))
+        SELECT s.doc_id, s.text_clean, s.n_tokens, s.stop_ratio,
+               'en' AS lang_guess, k.n_copies
+        FROM sig s JOIN keepers k USING (doc_id)
+        WHERE s.quality_keep AND s.stop_ratio >= 0.08
+    """
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1898,6 +1936,7 @@ def extra_queries() -> dict:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_contamination": q_docs_contamination,
         "docs_neardup_clusters": q_docs_neardup_clusters,
+        "docs_prepare_corpus": q_docs_prepare_corpus,
     }
 
 
@@ -1944,6 +1983,7 @@ def extra_oracles() -> dict:
         "docs_pii_scrub": o_docs_pii_scrub(),
         "docs_contamination": O_CONTAMINATION,
         "docs_neardup_clusters": o_docs_neardup_clusters(),
+        "docs_prepare_corpus": o_docs_prepare_corpus(),
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

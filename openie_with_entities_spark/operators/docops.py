@@ -703,6 +703,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def prepare_corpus(docs: DataFrame) -> DataFrame:
+    """The composed corpus-preparation pass a pre-training pipeline runs:
+    keep documents that clear the quality gate AND classify as English AND
+    are their exact-duplicate group's keeper, with PII scrubbed from the
+    surviving text. One projection computes every per-row signal (quality
+    ratios, language guess, redactions) in a single scan; the only
+    shuffle/join is the exact-dedup keeper semi-join — map-side-combinable
+    md5 aggregate, broadcastable result shape per dedup_exact. Emits the
+    cleaned text plus the signals, so downstream audits can see WHY a row
+    survived."""
+    toks = tokenize(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(
+        F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)")
+    )
+    n_tokens = F.size(toks)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    enriched = docs.select(
+        "doc_id",
+        scrubbed.alias("text_clean"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (n_tokens >= 10)
+            & (n_tokens <= 100000)
+            & (n_punct / n_tokens < 0.3)
+        ).alias("quality_keep"),
+        F.when(stop_ratio >= 0.08, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_guess"),
+    )
+    keepers = dedup_exact(docs).select(
+        F.col("keeper_doc_id").alias("doc_id"), "n_copies"
+    )
+    return (
+        enriched.join(keepers, "doc_id")
+        .where(F.col("quality_keep") & (F.col("lang_guess") == "en"))
+        .select(
+            "doc_id", "text_clean", "n_tokens", "stop_ratio",
+            "lang_guess", "n_copies",
+        )
+    )
+
+
 def neardup_clusters(
     docs: DataFrame, k: int = 15, threshold: float = 0.5
 ) -> DataFrame:

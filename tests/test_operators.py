@@ -647,3 +647,27 @@ def test_dedup_triples_boundary_shifted_key(spark):
     assert len(rows) == 2
     kept = {r.ext_idx for r in rows}
     assert kept == {0, 2}  # first-inserted variant survives
+
+
+def test_prepare_corpus_gates(spark):
+    """Each gate drops exactly its target: short docs (quality), stopword-
+    free docs (language), exact duplicates (keeper), and PII is scrubbed
+    from survivors."""
+    from openie_with_entities_spark.operators.docops import prepare_corpus
+
+    good = ("the cat sat on the mat and it was a good day for all of us "
+            "to be here mail me at a@b.co now")
+    rows = [
+        (0, good),
+        (1, good),                        # exact dup of 0 → dropped
+        (2, "short text"),                # quality: < 10 tokens
+        (3, "uno dos tres cuatro cinco seis siete ocho nueve diez once"),
+        (4, "the dog ran in the park and it was also a fine day for the "
+            "whole gang to run around"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in prepare_corpus(docs).collect()}
+    assert set(out) == {0, 4}
+    assert out[0].n_copies == 2
+    assert "<EMAIL>" in out[0].text_clean and "a@b.co" not in out[0].text_clean
+    assert out[4].n_copies == 1
