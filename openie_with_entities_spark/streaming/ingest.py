@@ -47,6 +47,73 @@ def streaming_triples(
     return fused_extract_stage(deduped, surfaces, partitions=partitions)
 
 
+DOCUMENT_DDL = "doc_id long, text string, source string, ts timestamp"
+
+
+def stream_documents(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_clean_documents(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of docops.prepare_corpus for a live document feed:
+    the quality/language gates and PII scrub are pure per-row projections
+    (streaming-safe as-is), and exact dedup becomes
+    ``dropDuplicatesWithinWatermark`` on the content hash — bounded state
+    (hashes older than the watermark evict) instead of the batch job's
+    global keeper aggregate. Semantics note vs the batch pass: streaming
+    keeps the FIRST-ARRIVING copy within the watermark horizon and cannot
+    count n_copies; duplicates spaced further apart than the watermark
+    both survive and are the batch pass's job to reconcile — the standard
+    streaming/batch dedup split."""
+    from ..operators.docops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        STOPWORDS,
+        tokenize,
+    )
+
+    toks = tokenize(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(
+        F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)")
+    )
+    n_tokens = F.size(toks)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    gated = (
+        stream.withColumn("_h", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .where(
+            (n_tokens >= 10)
+            & (n_tokens <= 100000)
+            & (n_punct / n_tokens < 0.3)
+            & (stop_ratio >= 0.08)
+        )
+    )
+    return gated.select(
+        "doc_id",
+        scrubbed.alias("text_clean"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        "source",
+        "ts",
+    )
+
+
 def windowed_turn_counts(
     stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

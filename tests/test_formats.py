@@ -375,3 +375,39 @@ def test_zero_row_epoch_retry_clears_partial_write(spark, tmpdir):
         for r in spark.read.parquet(os.path.join(out, "lineage")).collect()
     }
     assert lineage == {0: 0}
+
+
+def test_streaming_clean_documents(spark, tmpdir):
+    """Streaming prepare-corpus twin: per-row gates + PII scrub apply on a
+    live feed; exact duplicates within the watermark dedup to the first
+    copy; the sink drains with availableNow."""
+    import datetime as dt
+
+    from openie_with_entities_spark.streaming.ingest import (
+        DOCUMENT_DDL,
+        run_stream_to_table,
+        stream_documents,
+        streaming_clean_documents,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    good = ("the cat sat on the mat and it was a good day for all of us "
+            "to be here mail me at a@b.co now")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, good, "s0", t0),
+        (1, good, "s0", t0),                 # in-watermark exact dup
+        (2, "short text", "s0", t0),         # quality-gated
+        (3, "uno dos tres cuatro cinco seis siete ocho nueve diez once",
+         "s1", t0),                          # language-gated
+    ]
+    spark.createDataFrame(rows, DOCUMENT_DDL).write.parquet(src)
+    out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    cleaned = streaming_clean_documents(stream_documents(spark, src))
+    run_stream_to_table(cleaned, out, ckpt, once=True)
+    got = spark.read.parquet(os.path.join(out, "data")).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.doc_id in (0, 1)  # first-arriving copy wins
+    assert "<EMAIL>" in row.text_clean and "a@b.co" not in row.text_clean
