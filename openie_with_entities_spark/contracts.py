@@ -1895,6 +1895,33 @@ def o_docs_prepare_corpus() -> str:
     """
 
 
+def q_emb_knn_graph(spark, sf_dir):
+    """Exact-path kNN graph over a bounded slice (the brute-force oracle
+    twin; the LSH path's recall is pytest-gated like the other ANN ops).
+    The slice keeps the all-pairs cosine O(300²) at every sf."""
+    from openie_with_entities_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        "vec_id < 300"
+    )
+    return knn_join(emb, k=5, exact=True)
+
+
+O_KNN = """
+    WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
+    scored AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+    SELECT src_id, dst_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS rk
+        FROM scored) WHERE rk <= 5
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1937,6 +1964,7 @@ def extra_queries() -> dict:
         "docs_contamination": q_docs_contamination,
         "docs_neardup_clusters": q_docs_neardup_clusters,
         "docs_prepare_corpus": q_docs_prepare_corpus,
+        "emb_knn_graph": q_emb_knn_graph,
     }
 
 
@@ -1984,6 +2012,7 @@ def extra_oracles() -> dict:
         "docs_contamination": O_CONTAMINATION,
         "docs_neardup_clusters": o_docs_neardup_clusters(),
         "docs_prepare_corpus": o_docs_prepare_corpus(),
+        "emb_knn_graph": O_KNN,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -310,6 +310,81 @@ def embedding_neardup_pairs(
     return scored.where(F.col("cos_sim") >= threshold)
 
 
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_bands: int = 16,
+    n_planes: int = 3,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """kNN GRAPH construction: for every corpus vector, its k nearest
+    neighbors by cosine — (src_id, dst_id, cos_sim, rk). The primitive
+    under graph-based clustering/semantic-dedup of an embedding corpus.
+
+    Default path: the banded-LSH bucket machinery (same hyperplanes and
+    per-bucket in-row pair generation as embedding_neardup_pairs, at the
+    wider top-k tuning of 16 bands × 3 planes) yields undirected candidate
+    pairs; each pair scores once and MIRRORS into both directions before
+    the per-source rank — so the join and the cosine work are half the
+    directed pair count. ``exact=True`` is the brute-force twin (the
+    small-data oracle): all ordered pairs, exact rank. Approximate-path
+    recall is gated in tests like the other ANN operators; the plane count
+    must grow with log2(N) exactly as documented on lsh_bucketed_topk."""
+    a, b = embeddings.alias("a"), embeddings.alias("b")
+    if exact:
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    else:
+        ab = _banded(embeddings, "embedding", n_bands, n_planes, dim)
+        with_ids = (
+            ab.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+        anchors = with_ids.select(
+            "ids", F.posexplode("ids").alias("i", "id_a")
+        )
+        cand = (
+            anchors.select(
+                "id_a",
+                F.explode(
+                    F.slice(
+                        "ids",
+                        F.col("i") + 2,
+                        F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+                    )
+                ).alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs = (
+            cand.join(a, cand["id_a"] == F.col("a.vec_id"))
+            .join(b, cand["id_b"] == F.col("b.vec_id"))
+        )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            _cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+        ).alias("cos_sim"),
+    )
+    directed = scored.unionByName(
+        scored.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cos_sim",
+        )
+    ).select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "cos_sim"
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("dst_id")
+    )
+    return directed.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -671,3 +671,22 @@ def test_prepare_corpus_gates(spark):
     assert out[0].n_copies == 2
     assert "<EMAIL>" in out[0].text_clean and "a@b.co" not in out[0].text_clean
     assert out[4].n_copies == 1
+
+
+def test_knn_join_lsh_recall_on_clusters(spark):
+    """The LSH kNN-graph path must recover ≥0.9 of the exact graph's edges
+    on clustered geometry (neighbors share buckets), and the exact path is
+    its own ground truth."""
+    from openie_with_entities_spark.operators.similarity import knn_join
+
+    rows = [(i, v) for (i, v, _c) in _clustered_vectors(n_clusters=10, per_cluster=20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.src_id, r.dst_id) for r in knn_join(emb, k=5, exact=True).collect()
+    }
+    approx = {
+        (r.src_id, r.dst_id) for r in knn_join(emb, k=5).collect()
+    }
+    assert len(exact) == 200 * 5
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"knn recall@5 = {recall}"
