@@ -88,12 +88,38 @@ class CheckpointManager:
             )
         return done
 
+    def _check_bucket_meta(self, stage: str) -> None:
+        """Pin the stage's bucket count on first write; refuse a resume
+        with a DIFFERENT count. The id-range check above only catches a
+        DECREASE — resuming 16→32 would pass it and then re-extract rows
+        whose 32-bucket hash lands in 16..31, duplicating data already on
+        disk under the 16-bucket scheme."""
+        meta = os.path.join(self.base, stage, "meta")
+        try:
+            row = self.spark.read.parquet(meta).collect()[0]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            self.spark.createDataFrame(
+                [(self.n_buckets,)], "n_buckets int"
+            ).write.mode("overwrite").parquet(meta)
+            return
+        if row.n_buckets != self.n_buckets:
+            raise ValueError(
+                f"stage {stage!r} checkpoint was written with "
+                f"n_buckets={row.n_buckets}, resuming with "
+                f"{self.n_buckets} would re-hash rows into already-"
+                "materialized partitions (duplicates). Re-run with "
+                f"n_buckets={row.n_buckets} or delete the stage directory."
+            )
+
     def run_stage(
         self, stage: str, inp: DataFrame, transform, key: str = "conv_id"
     ) -> StageRun:
         """Compute ``transform(pending_input)`` for buckets without lineage,
         write them, record lineage, return the FULL stage output (reread
         from the checkpoint, so downstream plans cut lineage here too)."""
+        self._check_bucket_meta(stage)
         data_path, lineage_path = self._paths(stage)
         done = self.completed_buckets(stage)
 

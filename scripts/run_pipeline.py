@@ -40,7 +40,20 @@ def main() -> int:
 
     active = SparkSession.getActiveSession()
     if active is not None:
-        spark = active  # launched via spark-submit with its own conf
+        spark = active  # a session already exists (notebook/driver harness)
+    elif args.cores is None:
+        # spark-submit path: build WITHOUT master/memory/local-dir
+        # overrides so the submitted conf (--master yarn, executor sizing)
+        # stays in charge — get_spark()'s hard-coded local[N] would
+        # silently collapse a cluster job onto the driver. Running bare
+        # `python run_pipeline.py` without --cores falls back to the local
+        # profile when no master is configured.
+        try:
+            spark = SparkSession.builder.appName("kg_pipeline").getOrCreate()
+        except Exception:
+            from openie_with_entities_spark.session import get_spark
+
+            spark = get_spark("kg_pipeline", cores=None)
     else:
         from openie_with_entities_spark.session import get_spark
 
@@ -49,6 +62,12 @@ def main() -> int:
     from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
     from openie_with_entities_spark.plans.production import run_production
 
+    if args.input and not args.alias:
+        # the synthetic gazetteer only pairs with the synthetic corpus —
+        # silently linking REAL transcripts against it would produce a
+        # plausible-looking but garbage KG
+        raise SystemExit("--alias is required when --input is given "
+                         "(the built-in alias dictionary is synthetic)")
     transcripts = (
         spark.read.parquet(args.input)
         if args.input

@@ -120,5 +120,25 @@ def test_resume_with_wrong_bucket_count_fails_loudly(spark, tmp_path):
     )
     mgr32.run_stage("s", inp, lambda df: df)
     mgr16 = CheckpointManager(spark, base, n_buckets=16)
-    with pytest.raises(ValueError, match="different bucket count"):
+    with pytest.raises(ValueError, match="n_buckets=32"):
         mgr16.run_stage("s", inp, lambda df: df)
+
+
+def test_resume_with_larger_bucket_count_fails_loudly(spark, tmp_path):
+    """Increasing n_buckets on resume re-hashes rows into 'pending' buckets
+    already materialized under the old scheme → duplicates; the bucket-
+    count meta pin must reject it (the id-range check only catches a
+    decrease)."""
+    import pytest
+
+    from openie_with_entities_spark.plans.checkpoint import CheckpointManager
+
+    base = str(tmp_path / "ckpt")
+    inp = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(50)], "conv_id string, v int"
+    )
+    CheckpointManager(spark, base, n_buckets=8).run_stage("s", inp, lambda df: df)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        CheckpointManager(spark, base, n_buckets=16).run_stage(
+            "s", inp, lambda df: df
+        )
