@@ -32,7 +32,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import functions as F
 
 SEED = 42
 
@@ -236,3 +235,6 @@ def write_corpus(spark: SparkSession, path: str, n_convs: int, seed: int = SEED)
     df.repartition(parallelism, F.col("conv_id")).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "transcripts.parquet"))
+    from .operators.docops import clear_spread_cache
+
+    clear_spread_cache()  # partition-count memos for this path are now stale

@@ -195,18 +195,26 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     toks = _spread(docs).select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     ).where(F.col("token") != "")
-    n_docs = docs.count()
+    # N as a lazy 1-row aggregate broadcast into the plan — an eager
+    # docs.count() here would run one extra scan per invocation at
+    # plan-BUILD time, before the query is even executed
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")),
-            4,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("_n_docs") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return scored.withColumn("rk", F.row_number().over(w)).where(
@@ -323,7 +331,7 @@ def contamination_check(
     at 100 TB swap in their xxhash64 longs, same shape); each document
     tests its OWN shingle set against it in-row — zero shuffle, one scan.
     Emits per-doc hit counts; downstream filters on n_hits > 0."""
-    bench: set[int] = set()
+    bench: set[str] = set()
     for t in benchmark_texts:
         for i in range(max(len(t) - k + 1, 1)):
             bench.add(t[i : i + k])
@@ -389,6 +397,13 @@ def winnowing_fingerprint(
 _SPREAD_CACHE: dict[int, int] = {}
 
 
+def clear_spread_cache() -> None:
+    """Drop memoized partition counts. Call after rewriting a parquet path
+    whose DataFrames may have been probed before (stale counts otherwise
+    survive until the 256-entry wholesale clear)."""
+    _SPREAD_CACHE.clear()
+
+
 def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Rebalance tiny scans across cores. A small local parquet arrives as
     ONE input split, which would serialize the CPU-heavy hash projections
@@ -399,11 +414,11 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     The partition-count probe (plan→RDD conversion) runs ONCE per distinct
     logical plan and is memoized on the analyzed plan's semanticHash —
     operators invoked repeatedly over the same source (every bench/driver
-    run) previously re-planned the RDD conversion on each call. Known
-    limitation: the cache has no path-content invalidation, so a session
-    that REWRITES a parquet path with very different sizing should clear
-    _SPREAD_CACHE (worst case is a redundant or missing rebalance, never a
-    wrong result)."""
+    run) previously re-planned the RDD conversion on each call. The cache
+    has no path-content invalidation of its own, so helpers that REWRITE a
+    parquet path in-session (corpus.write_corpus, the checkpoint manager)
+    call ``clear_spread_cache()`` after the write; a missed clear costs a
+    redundant or missing rebalance, never a wrong result."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * 2
     try:
@@ -681,10 +696,17 @@ def ngram_jaccard_pairs(
     22.8s vs 5.5s at sf0.1)."""
     candidates = jaccard_prefix_candidates(docs, k, threshold).localCheckpoint()
     arrs = _spread(docs).select("doc_id", shingle_hash_array(k).alias("sh"))
-    # broadcast the CANDIDATES (bounded by the prefix filter), stream the
-    # corpus-side arrays — the only join orientation that survives a 100×
-    # corpus; the second join stays a plain equi-join (AQE may localize it)
-    joined = F.broadcast(candidates).join(
+    # broadcast the CANDIDATES (normally bounded by the prefix filter),
+    # stream the corpus-side arrays — the only join orientation that
+    # survives a 100× corpus; the second join stays a plain equi-join (AQE
+    # may localize it). The prefix bound is data-dependent though: a corpus
+    # that IS mostly mutual near-duplicates yields O(n²) candidate pairs,
+    # so the forced broadcast is guarded by an exact count (free — the
+    # table is already materialized by the localCheckpoint) and falls back
+    # to a plain equi-join, letting AQE pick the strategy at runtime.
+    if candidates.count() <= 4_000_000:  # ~64 MB of (long, long) pairs
+        candidates = F.broadcast(candidates)
+    joined = candidates.join(
         arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sh_a")),
         "doc_a",
     ).join(

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "_bucket"
 
+
+def _is_path_missing(e: AnalysisException) -> bool:
+    """True iff the exception means 'input path does not exist' (= first
+    run). Matched on the structured error condition, not the message text,
+    so a connector that words the message differently still resolves; the
+    substring check remains only as a fallback for exceptions without a
+    condition attached."""
+    for probe in ("getCondition", "getErrorClass"):
+        try:
+            cond = getattr(e, probe)()
+        except Exception:  # pragma: no cover - API drift across versions
+            continue
+        if cond is not None:
+            return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(e)  # pragma: no cover - no-condition path
+
 LINEAGE_SCHEMA = (
     "stage string, bucket int, rows_out long, wall_ms long, finished_at string"
 )
@@ -74,7 +90,7 @@ class CheckpointManager:
             # unreadable lineage must fail loudly — treating it as empty
             # would silently reprocess completed buckets and double-append
             # lineage rows
-            if "PATH_NOT_FOUND" in str(e):
+            if _is_path_missing(e):
                 return set()
             raise
         bad = {b for b in done if b >= self.n_buckets}
@@ -98,7 +114,7 @@ class CheckpointManager:
         try:
             row = self.spark.read.parquet(meta).collect()[0]
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
+            if not _is_path_missing(e):
                 raise
             self.spark.createDataFrame(
                 [(self.n_buckets,)], "n_buckets int"
@@ -159,6 +175,9 @@ class CheckpointManager:
             self.spark.createDataFrame(
                 lineage_rows, schema=LINEAGE_SCHEMA
             ).write.mode("append").parquet(lineage_path)
+            from ..operators.docops import clear_spread_cache
+
+            clear_spread_cache()  # data_path was just (re)written
 
         full = self.spark.read.parquet(data_path).drop(BUCKET_COL)
         return StageRun(

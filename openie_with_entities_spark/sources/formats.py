@@ -122,20 +122,36 @@ def to_conj_blocks(splits: DataFrame, sentence_col: str = "text") -> DataFrame:
     )
 
 
-def read_conj_blocks(spark: SparkSession, path: str) -> DataFrame:
-    """Parse `orig\\nsplit1\\nsplit2\\n\\n` blocks into (orig, split_idx,
-    split) rows: a window-sum over blank-line markers assigns block ids —
-    the distributed version of the reference's stateful file walk."""
-    raw = spark.read.text(path).withColumn(
-        "line_id", F.monotonically_increasing_id()
+def _numbered_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Shared scaffolding for blank-line-delimited block files: assign each
+    non-blank line a (block_id, pos) via a window-sum over blank-line
+    markers — the distributed version of the reference's stateful file
+    walk. The window partitions by ``input_file_name`` so a directory of
+    files parallelizes per-file instead of serializing into one global
+    sort; block_id = (file, in-file ordinal) stays globally unique.
+    ``monotonically_increasing_id`` is partition-prefixed and text splits
+    follow file offset order, so ordering by it within a file is exact."""
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("_file"),
+        F.monotonically_increasing_id().alias("line_id"),
+        "value",
     )
-    w = Window.orderBy("line_id")
+    w = Window.partitionBy("_file").orderBy("line_id")
     blocks = raw.withColumn(
-        "block_id",
+        "blk",
         F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w),
     ).where(F.col("value") != "")
+    blocks = blocks.withColumn(
+        "block_id", F.concat_ws("#", "_file", F.col("blk").cast("string"))
+    )
     w_blk = Window.partitionBy("block_id").orderBy("line_id")
-    numbered = blocks.withColumn("pos", F.row_number().over(w_blk))
+    return blocks.withColumn("pos", F.row_number().over(w_blk))
+
+
+def read_conj_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Parse `orig\\nsplit1\\nsplit2\\n\\n` blocks into (orig, split_idx,
+    split) rows (see _numbered_blocks for the block assignment)."""
+    numbered = _numbered_blocks(spark, path)
     orig = numbered.where("pos = 1").select(
         "block_id", F.col("value").alias("orig_sentence")
     )
@@ -156,18 +172,9 @@ def read_conj_blocks(spark: SparkSession, path: str) -> DataFrame:
 def read_labels_file(spark: SparkSession, path: str) -> DataFrame:
     """Training-label file (S2, /root/reference/data.py:256-310):
     blank-line-delimited blocks of `sentence\\nlabelrow1\\nlabelrow2…` →
-    (sentence, depth, labels:array<string>). Same window-sum block
-    assignment as read_conj_blocks."""
-    raw = spark.read.text(path).withColumn(
-        "line_id", F.monotonically_increasing_id()
-    )
-    w = Window.orderBy("line_id")
-    blocks = raw.withColumn(
-        "block_id",
-        F.sum(F.when(F.col("value") == "", 1).otherwise(0)).over(w),
-    ).where(F.col("value") != "")
-    w_blk = Window.partitionBy("block_id").orderBy("line_id")
-    numbered = blocks.withColumn("pos", F.row_number().over(w_blk))
+    (sentence, depth, labels:array<string>). Same per-file window-sum
+    block assignment as read_conj_blocks (_numbered_blocks)."""
+    numbered = _numbered_blocks(spark, path)
     sent = numbered.where("pos = 1").select(
         "block_id", F.col("value").alias("sentence")
     )
