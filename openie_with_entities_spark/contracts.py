@@ -903,6 +903,90 @@ O_E1 = """
 
 
 # --------------------------------------------------------------------------
+# E1b — the full matcher-variant family (reference CLI surface,
+# carb/carb.py:480-505): strict/binary/simple tuple matchers + the binary
+# bow/pred/exact/lexical/bleu matchers. VALUES oracle hand-derived per pair
+# (strict arithmetic, stopword-removal effects, the arg_match
+# char-correlation quirk, nltk-default BLEU incl. its short-sentence zero).
+# --------------------------------------------------------------------------
+
+_E1V_FIXTURE = _E1_FIXTURE + [
+    # exact=False needs char-disjoint args; lexical sits AT the 0.5 boundary
+    (6, "met", ["zzz"], "met", ["qqq"]),
+    # bleu=True needs a shared 4-gram and enough length to clear 0.4
+    (
+        7,
+        "acquired",
+        ["the tech giant Acme Corp", "its smaller rival Beta Inc"],
+        "acquired",
+        ["the tech giant Acme Corp", "its smaller rival Beta Inc"],
+    ),
+]
+
+
+def q_e1_matcher_variants(spark, sf_dir):
+    from openie_with_entities_spark.evaluate import (
+        Ext,
+        MATCHERS,
+        _as_pr,
+    )
+
+    variant_names = ["strict", "binary", "simple"]
+    bool_names = ["bow", "pred", "exact", "lexical", "bleu"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, gr, ga, pr, pa in zip(
+                pdf["pair_id"], pdf["gold_rel"], pdf["gold_args"],
+                pdf["pred_rel"], pdf["pred_args"],
+            ):
+                g, e = Ext(gr, list(ga)), Ext(pr, list(pa))
+                row = {"pair_id": int(pid)}
+                for name in variant_names:
+                    p, r = _as_pr(MATCHERS[name](g, e))
+                    row[f"{name}_prec"] = round(p, 4)
+                    row[f"{name}_rec"] = round(r, 4)
+                for name in bool_names:
+                    row[f"{name}_m"] = int(MATCHERS[name](g, e))
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    src = spark.createDataFrame(
+        _E1V_FIXTURE,
+        "pair_id int, gold_rel string, gold_args array<string>, "
+        "pred_rel string, pred_args array<string>",
+    )
+    schema = "pair_id int, " + ", ".join(
+        f"{n}_prec double, {n}_rec double" for n in variant_names
+    ) + ", " + ", ".join(f"{n}_m int" for n in bool_names)
+    return src.mapInPandas(run, schema)
+
+
+O_E1V = """
+    SELECT pair_id,
+           strict_prec, strict_rec, binary_prec, binary_rec,
+           simple_prec, simple_rec,
+           CAST(bow_m AS INT) AS bow_m, CAST(pred_m AS INT) AS pred_m,
+           CAST(exact_m AS INT) AS exact_m,
+           CAST(lexical_m AS INT) AS lexical_m,
+           CAST(bleu_m AS INT) AS bleu_m
+    FROM (VALUES
+        (0, 1.0, 1.0,  1.0, 1.0,  1.0, 1.0,     1, 1, 1, 1, 0),
+        (1, 1.0, 0.75, 1.0, 0.75, 1.0, 0.75,    0, 1, 1, 1, 0),
+        (2, 0.0, 0.0,  0.0, 0.0,  0.6667, 0.6667, 1, 1, 1, 1, 0),
+        (3, 0.0, 0.0,  0.0, 0.0,  0.6667, 0.6667, 0, 0, 1, 1, 0),
+        (4, 0.0, 0.0,  0.0, 0.0,  0.2, 0.2,     1, 1, 1, 1, 0),
+        (5, 0.6, 1.0,  0.6, 1.0,  0.6, 1.0,     0, 1, 1, 1, 0),
+        (6, 0.0, 0.0,  0.0, 0.0,  0.5, 0.5,     0, 1, 0, 0, 0),
+        (7, 1.0, 1.0,  1.0, 1.0,  1.0, 1.0,     1, 1, 1, 1, 1)
+    ) AS t(pair_id, strict_prec, strict_rec, binary_prec, binary_rec,
+           simple_prec, simple_rec, bow_m, pred_m, exact_m, lexical_m,
+           bleu_m)
+"""
+
+
+# --------------------------------------------------------------------------
 # E2 — CaRB compare (greedy 1-1 precision / single-max recall, PR over
 # thresholds; VALUES oracle hand-derived for the 2-sentence fixture)
 # --------------------------------------------------------------------------
@@ -1036,6 +1120,46 @@ def q_s10_checkpoint_resume(spark, sf_dir):
     )
     # every scalar above is already collected — the checkpoint dir (full
     # pipeline parquet output) would otherwise leak per run
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+def q_s10_salted_resume(spark, sf_dir):
+    """Checkpoint/resume through the SALTED link path (dictionary too big
+    to broadcast): same oracle as s10 — salted ≡ inline link parity is a
+    pytest gate (test_production.py), so the triple count and the resume
+    bucket counts must be identical. This makes the beyond-broadcast
+    path's checkpoint behavior driver-witnessed, not just
+    pytest-witnessed."""
+    import shutil
+    import tempfile
+
+    from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+    from openie_with_entities_spark.plans.production import run_production
+
+    out = tempfile.mkdtemp(prefix="s10_salted_contract_")
+    t = generate_transcripts(spark, 20)
+    first = run_production(
+        spark, t, alias_dict(spark), out, n_buckets=8, link_mode="salted"
+    )
+    n_triples = first.triples.count()
+    second = run_production(
+        spark, t, alias_dict(spark), out, n_buckets=8, link_mode="salted"
+    )
+    lineage = spark.read.parquet(os.path.join(out, "triples", "lineage"))
+    result = spark.createDataFrame(
+        [
+            (
+                first.buckets_processed, first.buckets_skipped,
+                second.buckets_processed, second.buckets_skipped,
+                n_triples, second.triples.count(),
+                lineage.select("bucket").distinct().count(),
+            )
+        ],
+        "first_processed int, first_skipped int, second_processed int, "
+        "second_skipped int, n_triples long, n_triples_resumed long, "
+        "n_lineage_buckets long",
+    )
     shutil.rmtree(out, ignore_errors=True)
     return result
 
@@ -1922,6 +2046,189 @@ O_KNN = """
 """
 
 
+# --------------------------------------------------------------------------
+# Conversation-level corpus ops (operators/convops.py) — transcripts derived
+# DETERMINISTICALLY from the documents table so the DuckDB oracle can rebuild
+# the identical conversations in SQL: 2-turn convs (doc pairs) for
+# dedup/neardup/pack, 5-turn convs with a mod-7 role map for the role-aware
+# quality gates.
+# --------------------------------------------------------------------------
+
+
+def _conv2_transcripts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(
+            F.lit("c"), F.floor(F.col("doc_id") / 2).cast("string")
+        ).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+_CONV2_CTE = """
+tr AS (
+    SELECT 'c' || CAST(doc_id // 2 AS VARCHAR) AS conv_id,
+           CAST(doc_id AS INT) AS turn_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           text
+    FROM documents)
+"""
+
+
+def _conv5_transcripts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = F.col("doc_id") % 7
+    return docs.select(
+        F.concat(
+            F.lit("q"), F.floor(F.col("doc_id") / 5).cast("string")
+        ).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(r.isin(0, 1, 4), "user")
+        .when(r.isin(2, 5), "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+_CONV5_CTE = """
+tr AS (
+    SELECT 'q' || CAST(doc_id // 5 AS VARCHAR) AS conv_id,
+           CAST(doc_id AS INT) AS turn_idx,
+           CASE WHEN doc_id % 7 IN (0, 1, 4) THEN 'user'
+                WHEN doc_id % 7 IN (2, 5) THEN 'assistant'
+                ELSE 'tool' END AS role,
+           text
+    FROM documents)
+"""
+
+
+def q_conv_dedup_exact(spark, sf_dir):
+    from openie_with_entities_spark.operators.convops import conv_dedup_exact
+
+    return conv_dedup_exact(_conv2_transcripts(spark, sf_dir))
+
+
+O_CONV_DEDUP = f"""
+    WITH {_CONV2_CTE},
+    canon AS (
+        SELECT conv_id,
+               md5(string_agg(role || chr(9) || text, chr(10)
+                              ORDER BY turn_idx)) AS conv_hash,
+               count(*) AS n_turns
+        FROM tr GROUP BY conv_id)
+    SELECT conv_hash, min(conv_id) AS keeper_conv_id,
+           count(*) AS n_copies, CAST(min(n_turns) AS BIGINT) AS n_turns
+    FROM canon GROUP BY conv_hash
+"""
+
+
+def q_conv_neardup(spark, sf_dir):
+    from openie_with_entities_spark.operators.convops import conv_neardup_pairs
+
+    return conv_neardup_pairs(
+        _conv2_transcripts(spark, sf_dir), threshold=0.2
+    )
+
+
+O_CONV_NEARDUP = f"""
+    WITH {_CONV2_CTE},
+    conv AS (
+        SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+        FROM tr GROUP BY conv_id),
+    sh AS (
+        SELECT DISTINCT conv_id, substring(text, CAST(i AS INT), 15) AS shingle
+        FROM conv,
+             unnest(range(1, greatest(length(text) - 14, 1) + 1)) AS t(i)),
+    sizes AS (SELECT conv_id, count(*) AS n_sh FROM sh GROUP BY conv_id),
+    inter AS (
+        SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS ni
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.conv_id < b.conv_id
+        GROUP BY 1, 2)
+    SELECT conv_a, conv_b,
+           round(ni / (sa.n_sh + sb.n_sh - ni), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.conv_id = conv_a
+    JOIN sizes sb ON sb.conv_id = conv_b
+    WHERE round(ni / (sa.n_sh + sb.n_sh - ni), 4) >= 0.2
+"""
+
+
+def q_conv_pack(spark, sf_dir):
+    from openie_with_entities_spark.operators.convops import pack_conversations
+
+    return pack_conversations(_conv2_transcripts(spark, sf_dir))
+
+
+O_CONV_PACK = f"""
+    WITH {_CONV2_CTE},
+    per_conv AS (
+        SELECT conv_id,
+               sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                   AS n_tokens
+        FROM tr GROUP BY conv_id),
+    sharded AS (
+        SELECT conv_id, n_tokens,
+               CAST((strpos('0123456789abcdef',
+                            substring(md5(conv_id), 1, 1)) - 1) % 16 AS INT)
+                   AS shard
+        FROM per_conv),
+    c AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY conv_id) AS cum
+        FROM sharded)
+    SELECT conv_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+    FROM c
+"""
+
+
+def q_conv_quality(spark, sf_dir):
+    from openie_with_entities_spark.operators.convops import conv_quality
+
+    return conv_quality(_conv5_transcripts(spark, sf_dir))
+
+
+O_CONV_QUALITY = f"""
+    WITH {_CONV5_CTE},
+    turns AS (
+        SELECT conv_id, turn_idx, role,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok,
+               CASE WHEN role = lag(role) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx)
+                    THEN 1 ELSE 0 END AS same_as_prev
+        FROM tr),
+    agg AS (
+        SELECT conv_id, count(*) AS n_turns,
+               sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
+               sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   AS n_assistant_turns,
+               sum(n_tok) AS n_tokens,
+               max(n_tok) AS max_turn_tokens,
+               sum(same_as_prev) AS n_role_repeats
+        FROM turns GROUP BY conv_id)
+    SELECT conv_id, n_turns,
+           CAST(n_user_turns AS BIGINT) AS n_user_turns,
+           CAST(n_assistant_turns AS BIGINT) AS n_assistant_turns,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(max_turn_tokens AS INT) AS max_turn_tokens,
+           CAST(n_role_repeats AS BIGINT) AS n_role_repeats,
+           (n_turns >= 2 AND n_user_turns > 0 AND n_assistant_turns > 0
+            AND n_tokens >= 16 AND max_turn_tokens <= 8192) AS keep
+    FROM agg
+"""
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -1965,6 +2272,12 @@ def extra_queries() -> dict:
         "docs_neardup_clusters": q_docs_neardup_clusters,
         "docs_prepare_corpus": q_docs_prepare_corpus,
         "emb_knn_graph": q_emb_knn_graph,
+        "e1_matcher_variants": q_e1_matcher_variants,
+        "conv_dedup_exact": q_conv_dedup_exact,
+        "conv_neardup": q_conv_neardup,
+        "conv_pack": q_conv_pack,
+        "conv_quality": q_conv_quality,
+        "s10_salted_resume": q_s10_salted_resume,
     }
 
 
@@ -2013,7 +2326,13 @@ def extra_oracles() -> dict:
         "docs_neardup_clusters": o_docs_neardup_clusters(),
         "docs_prepare_corpus": o_docs_prepare_corpus(),
         "emb_knn_graph": O_KNN,
+        "e1_matcher_variants": O_E1V,
+        "conv_dedup_exact": O_CONV_DEDUP,
+        "conv_neardup": O_CONV_NEARDUP,
+        "conv_pack": O_CONV_PACK,
+        "conv_quality": O_CONV_QUALITY,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)
+        oracles["s10_salted_resume"] = o_s10(_S10_N_TRIPLES)
     return oracles

@@ -105,16 +105,306 @@ def binary_linient_tuple_match(ref: Ext, ex: Ext) -> list[float]:
 
 
 # --------------------------------------------------------------------------
+# Matcher variants — the rest of the reference CLI surface
+# (/root/reference/carb/carb.py:480-505 selects among these; the default,
+# binary_linient_tuple_match, is above). Tuple matchers return [prec, rec];
+# binary matchers return bool (normalized by _as_pr where a P/R pair is
+# needed).
+# --------------------------------------------------------------------------
+
+# The NLTK English stopword list (public domain) + ASCII punctuation — the
+# exact set matcher.py:385 builds; embedded because nltk's downloader is
+# not available in this environment.
+STOPWORDS_EN = frozenset(
+    """i me my myself we our ours ourselves you you're you've you'll you'd
+    your yours yourself yourselves he him his himself she she's her hers
+    herself it it's its itself they them their theirs themselves what which
+    who whom this that that'll these those am is are was were be been being
+    have has had having do does did doing a an the and but if or because as
+    until while of at by for with about against between into through during
+    before after above below to from up down in out on off over under again
+    further then once here there when where why how all any both each few
+    more most other some such no nor not only own same so than too very s t
+    can will just don don't should should've now d ll m o re ve y ain aren
+    aren't couldn couldn't didn didn't doesn doesn't hadn hadn't hasn hasn't
+    haven haven't isn isn't ma mightn mightn't mustn mustn't needn needn't
+    shan shan't shouldn shouldn't wasn wasn't weren weren't won won't wouldn
+    wouldn't""".split()
+) | frozenset("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+BLEU_THRESHOLD = 0.4  # matcher.py:381
+LEXICAL_THRESHOLD = 0.5  # matcher.py:382
+
+
+def _bow(e: Ext) -> str:
+    """Extraction.bow (/root/reference/carb/oie_readers/extraction.py:113):
+    pred and args space-joined."""
+    return " ".join([e.pred] + e.args)
+
+
+def _words(s: str, ignore_stopwords: bool, ignore_case: bool) -> list[str]:
+    if ignore_case:
+        s = s.lower()
+    ws = s.split(" ")
+    if ignore_stopwords:
+        ws = [w for w in ws if w.lower() not in STOPWORDS_EN]
+    return ws
+
+
+def bow_match(
+    ref: Ext, ex: Ext, ignore_stopwords: bool = True, ignore_case: bool = True
+) -> bool:
+    """Exact lexical bag-of-words match (matcher.py:10-29)."""
+    return sorted(_words(_bow(ref), ignore_stopwords, ignore_case)) == sorted(
+        _words(_bow(ex), ignore_stopwords, ignore_case)
+    )
+
+
+def pred_match(
+    ref: Ext, ex: Ext, ignore_stopwords: bool = True, ignore_case: bool = True
+) -> bool:
+    """Ordered word-list equality on the predicate alone
+    (matcher.py:31-49)."""
+    return _words(ref.pred, ignore_stopwords, ignore_case) == _words(
+        ex.pred, ignore_stopwords, ignore_case
+    )
+
+
+def arg_match(ref: Ext, ex: Ext) -> bool:
+    """--exactMatch → Matcher.argMatch (carb.py:486, matcher.py:51-72).
+    Reference quirk kept bit-for-bit: it iterates the CHARACTERS of the
+    space-joined arg strings in a double loop, so coverage is
+    Σ_c count_ref(c)·count_ex(c) / len(ref_chars) — it can exceed 1 and is
+    really a character-frequency correlation, not word overlap. The only
+    divergence: an empty reference arg string returns False here instead of
+    raising ZeroDivisionError."""
+    from collections import Counter
+
+    s_ref = " ".join(ref.args)
+    s_ex = " ".join(ex.args)
+    if not s_ref:
+        return False
+    cr, ce = Counter(s_ref), Counter(s_ex)
+    count = sum(n * ce[c] for c, n in cr.items())
+    return count / len(s_ref) > LEXICAL_THRESHOLD
+
+
+def lexical_match(ref: Ext, ex: Ext) -> bool:
+    """matcher.py:114-133: word-pair product coverage over bow() words
+    (duplicates multiply, same quirk family as arg_match but word-level)."""
+    s_ref = _bow(ref).split(" ")
+    s_ex = _bow(ex).split(" ")
+    if not s_ref:
+        return False
+    count = sum(1 for w1 in s_ref for w2 in s_ex if w1 == w2)
+    return count / len(s_ref) > LEXICAL_THRESHOLD
+
+
+def _sentence_bleu(ref_words: list[str], hyp_words: list[str]) -> float:
+    """Sentence BLEU with nltk's defaults (uniform 4-gram weights, no
+    smoothing — any zero n-gram precision zeroes the score — and the
+    standard brevity penalty), reimplemented because nltk is not in this
+    environment. Matches nltk.translate.bleu_score.sentence_bleu for the
+    single-reference case matcher.py:109-112 uses."""
+    import math
+    from collections import Counter
+
+    p_ns = []
+    for n in range(1, 5):
+        hyp_ngrams = Counter(
+            tuple(hyp_words[i : i + n]) for i in range(len(hyp_words) - n + 1)
+        )
+        ref_ngrams = Counter(
+            tuple(ref_words[i : i + n]) for i in range(len(ref_words) - n + 1)
+        )
+        total = sum(hyp_ngrams.values())
+        if total == 0:
+            return 0.0
+        overlap = sum(min(c, ref_ngrams[g]) for g, c in hyp_ngrams.items())
+        p_ns.append(overlap / total)
+    if min(p_ns) == 0.0:
+        return 0.0
+    log_sum = sum(0.25 * math.log(p) for p in p_ns)
+    if len(hyp_words) >= len(ref_words):
+        bp = 1.0
+    else:
+        bp = math.exp(1 - len(ref_words) / len(hyp_words))
+    return bp * math.exp(log_sum)
+
+
+def bleu_match(ref: Ext, ex: Ext) -> bool:
+    """matcher.py:107-112: sentence BLEU over bow() > 0.4."""
+    return _sentence_bleu(_bow(ref).split(" "), _bow(ex).split(" ")) > BLEU_THRESHOLD
+
+
+def tuple_match(ref: Ext, ex: Ext) -> list[float]:
+    """--strictMatch → Matcher.tuple_match (carb.py:495-496,
+    matcher.py:136-185). Vs linient_tuple_match: no be-form credit, no
+    '.'-token drop, and ANY zero-overlap part (pred, arg1 or arg2) voids
+    the pair. The reference returns literal False there; folded to
+    [0, 0] — every call site treats them identically (both falsy, both
+    zero credit)."""
+    prec_num = prec_den = rec_num = rec_den = 0
+
+    predicted = ex.pred.split()
+    gold = ref.pred.split()
+    prec_den += len(predicted)
+    rec_den += len(gold)
+    matching = 0
+    for w in gold:
+        if w in predicted:
+            matching += 1
+            predicted.remove(w)
+    if matching == 0:
+        return [0.0, 0.0]
+    prec_num += matching
+    rec_num += matching
+
+    for i, ref_arg in enumerate(ref.args):
+        gold = ref_arg.split()
+        rec_den += len(gold)
+        if len(ex.args) <= i:
+            if i < 2:
+                return [0.0, 0.0]
+            continue
+        predicted = ex.args[i].split()
+        prec_den += len(predicted)
+        matching = 0
+        for w in gold:
+            if w in predicted:
+                matching += 1
+                predicted.remove(w)
+        if matching == 0 and i < 2:
+            return [0.0, 0.0]
+        prec_num += matching
+        rec_num += matching
+
+    return [
+        prec_num / prec_den if prec_den else 0.0,
+        rec_num / rec_den if rec_den else 0.0,
+    ]
+
+
+def binary_tuple_match(ref: Ext, ex: Ext) -> list[float]:
+    """--binaryMatch (carb.py:480-481, matcher.py:362-377): args folded to
+    two, then the strict tuple match."""
+    return tuple_match(_fold_binary(ref), _fold_binary(ex))
+
+
+def simple_tuple_match(ref: Ext, ex: Ext) -> list[float]:
+    """--simpleMatch (carb.py:483-484, matcher.py:346-310 region): both
+    sides folded to two args, per-part multiset overlap with NO
+    zero-overlap void (missing pred args just stop the loop). The
+    reference folds IN PLACE, mutating the caller's extractions so every
+    later matcher call sees two-arg tuples — an aliasing bug of the same
+    family e4_binarize documents; not reproduced (we fold copies). Unlike
+    _fold_binary, the reference folds UNCONDITIONALLY, so a 1-arg
+    extraction becomes [arg0, ''] and the empty part still walks the loop
+    (penalizing precision against a 2-arg other side) — kept."""
+
+    def fold(e: Ext) -> Ext:
+        e2 = copy(e)
+        e2.args = [e.args[0], " ".join(e.args[1:])] if e.args else []
+        return e2
+
+    r, e = fold(ref), fold(ex)
+    prec_num = prec_den = rec_num = rec_den = 0
+
+    predicted = e.pred.split()
+    gold = r.pred.split()
+    prec_den += len(predicted)
+    rec_den += len(gold)
+    matching = 0
+    for w in gold:
+        if w in predicted:
+            matching += 1
+            predicted.remove(w)
+    prec_num += matching
+    rec_num += matching
+
+    for i, ref_arg in enumerate(r.args):
+        gold = ref_arg.split()
+        rec_den += len(gold)
+        if len(e.args) <= i:
+            break
+        predicted = e.args[i].split()
+        prec_den += len(predicted)
+        matching = 0
+        for w in gold:
+            if w in predicted:
+                matching += 1
+                predicted.remove(w)
+        prec_num += matching
+        rec_num += matching
+
+    return [
+        prec_num / prec_den if prec_den else 0.0,
+        rec_num / rec_den if rec_den else 0.0,
+    ]
+
+
+def bert_score_match(ref: Ext, ex: Ext) -> bool:
+    """--bertscoreMatch (carb.py:498-499) needs the bert-score model — a
+    real dependency seam in this environment, same policy as the neural
+    extraction backend (extract/neural.py)."""
+    raise NotImplementedError(
+        "bert_score_match requires the bert-score package/model; "
+        "use another matcher or plug a scorer in at this seam"
+    )
+
+
+MATCHERS: dict[str, object] = {
+    # name → callable; tuple matchers return [prec, rec], binary bool.
+    # Names follow the reference CLI flags (carb.py:480-505).
+    "binary": binary_tuple_match,
+    "simple": simple_tuple_match,
+    "exact": arg_match,
+    "pred": pred_match,
+    "lexical": lexical_match,
+    "strict": tuple_match,
+    "bleu": bleu_match,
+    "bow": bow_match,  # matcher.py:10 (not CLI-wired in the reference)
+    "bertscore": bert_score_match,
+    "binary_linient": binary_linient_tuple_match,
+}
+
+
+def get_matcher(name: str | None):
+    """CLI-style selector; None/unknown-default mirrors carb.py:504-505
+    falling through to binary_linient_tuple_match."""
+    if name is None:
+        return binary_linient_tuple_match
+    try:
+        return MATCHERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown matcher {name!r}; one of {sorted(MATCHERS)}"
+        ) from None
+
+
+def _as_pr(score) -> list[float]:
+    """Normalize a matcher result to [prec, rec]: binary matchers count as
+    full credit on match, zero otherwise."""
+    if isinstance(score, bool):
+        return [1.0, 1.0] if score else [0.0, 0.0]
+    return score
+
+
+# --------------------------------------------------------------------------
 # Per-sentence threshold contributions
 # --------------------------------------------------------------------------
 
 
 def sentence_contributions(
-    gold: list[Ext], preds: list[Ext], thresholds: list[float]
+    gold: list[Ext],
+    preds: list[Ext],
+    thresholds: list[float],
+    matcher=binary_linient_tuple_match,
 ) -> np.ndarray:
     """(num_conf, 4) array of [prec_num, prec_den, rec_num, rec_den] for one
-    sentence at each confidence cutoff."""
-    scores = [[binary_linient_tuple_match(g, p) for p in preds] for g in gold]
+    sentence at each confidence cutoff. ``matcher`` is any MATCHERS entry;
+    binary (bool) matchers score full/zero credit per pair."""
+    scores = [[_as_pr(matcher(g, p)) for p in preds] for g in gold]
     out = np.zeros((len(thresholds), 4))
     for c, th in enumerate(thresholds):
         idx = [j for j, p in enumerate(preds) if p.confidence >= th]
@@ -157,11 +447,14 @@ def carb_pr(
     gold_df: DataFrame,
     pred_df: DataFrame,
     key_cols: list[str] | None = None,
+    matcher: str | None = None,
 ) -> CarbResult:
     """Distributed CaRB compare. ``gold_df``/``pred_df`` need ``key_cols``
     (default [sent_key]) plus arg1/rel/arg2 (+ confidence, extra_args on
-    either side, optional)."""
+    either side, optional). ``matcher`` selects a MATCHERS variant by CLI
+    name (default binary_linient_tuple_match, the reference default)."""
     key_cols = key_cols or ["sent_key"]
+    match_fn = get_matcher(matcher)
     spark = gold_df.sparkSession
 
     if "confidence" not in pred_df.columns:
@@ -198,7 +491,9 @@ def carb_pr(
             return pd.DataFrame(
                 {"c": pd.Series(dtype="int64"), "pn": [], "pd_": [], "rn": [], "rd": []}
             )
-        contrib = sentence_contributions(gold, preds, b_thresholds.value)
+        contrib = sentence_contributions(
+            gold, preds, b_thresholds.value, matcher=match_fn
+        )
         return pd.DataFrame(
             {
                 "c": range(len(b_thresholds.value)),

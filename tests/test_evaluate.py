@@ -91,3 +91,102 @@ def test_carb_pr_empty_gold_and_missing_confidence(spark):
     gold2 = spark.createDataFrame([("s1", "a", "r", "b")], ddl)
     r2 = carb_pr(gold2, pred)
     assert r2.zero_conf_f1 == 1.0
+
+
+class TestMatcherVariants:
+    """Mirror /root/reference/carb/matcher.py semantics per variant."""
+
+    def test_strict_no_be_credit_and_no_dot_drop(self):
+        from openie_with_entities_spark.evaluate import tuple_match
+
+        # linient gives be↔is credit; strict must not
+        assert tuple_match(Ext("is", ["Bob", "chairman"]), Ext("be", ["Bob", "chairman"])) == [0.0, 0.0]
+        # strict keeps '.' tokens in precision denominators
+        got = tuple_match(Ext("r", ["a", "b"]), Ext("r", ["a", "b ."]))
+        assert got == [3 / 4, 1.0]
+
+    def test_strict_zero_overlap_arg_voids(self):
+        from openie_with_entities_spark.evaluate import tuple_match
+
+        assert tuple_match(Ext("r", ["x", "b"]), Ext("r", ["y", "b"])) == [0.0, 0.0]
+        # extra (i >= 2) args with zero overlap do NOT void
+        got = tuple_match(Ext("r", ["a", "b", "zz"]), Ext("r", ["a", "b", "qq"]))
+        assert got == [3 / 4, 3 / 4]
+
+    def test_binary_folds_then_strict(self):
+        from openie_with_entities_spark.evaluate import binary_tuple_match
+
+        got = binary_tuple_match(
+            Ext("r", ["a", "b", "c"]), Ext("r", ["a", "b c"])
+        )
+        assert got == [1.0, 1.0]
+
+    def test_simple_no_void_and_unconditional_fold(self):
+        from openie_with_entities_spark.evaluate import simple_tuple_match
+
+        # zero pred overlap still scores the args
+        assert simple_tuple_match(
+            Ext("praised", ["Eve", "T"]), Ext("visited", ["Eve", "T"])
+        ) == [2 / 3, 2 / 3]
+        # 1-arg ref folds to [arg0, '']; ex's extra args still counted
+        ref, ex = Ext("r", ["a"]), Ext("r", ["a", "bbb"])
+        assert simple_tuple_match(ref, ex) == [2 / 3, 1.0]
+        assert ref.args == ["a"]  # no in-place mutation (reference bug not kept)
+
+    def test_bow_and_pred_stopword_handling(self):
+        from openie_with_entities_spark.evaluate import bow_match, pred_match
+
+        # stopword-only predicates become empty lists → trivially equal
+        assert pred_match(Ext("is", ["x"]), Ext("be", ["x"]))
+        assert not pred_match(Ext("ran", ["x"]), Ext("walked", ["x"]))
+        assert bow_match(Ext("is", ["Bob", "chairman"]), Ext("be", ["chairman", "Bob"]))
+        assert not bow_match(Ext("r", ["Bob"]), Ext("r", ["Alice"]))
+
+    def test_arg_match_char_correlation_quirk(self):
+        from openie_with_entities_spark.evaluate import arg_match
+
+        # char-frequency product: disjoint char sets → 0 → False
+        assert not arg_match(Ext("r", ["zzz"]), Ext("r", ["qqq"]))
+        # heavy char overlap → True even for different words
+        assert arg_match(Ext("r", ["Eve Turing"]), Ext("r", ["Eve Turing"]))
+        assert not arg_match(Ext("r", [""]), Ext("r", ["x"]))  # guarded, not ZeroDivision
+
+    def test_lexical_boundary_is_strict_gt(self):
+        from openie_with_entities_spark.evaluate import lexical_match
+
+        # exactly 0.5 coverage (1 of 2 bow words) must NOT match
+        assert not lexical_match(Ext("met", ["zzz"]), Ext("met", ["qqq"]))
+        assert lexical_match(Ext("met", ["Ada"]), Ext("met", ["Ada", "x"]))
+
+    def test_bleu_nltk_default_semantics(self):
+        from openie_with_entities_spark.evaluate import _sentence_bleu, bleu_match
+
+        # identical but < 4 words → no 4-grams → 0 (nltk no-smoothing quirk)
+        assert _sentence_bleu(["a", "b", "c"], ["a", "b", "c"]) == 0.0
+        words = "the tech giant acme corp bought beta inc".split()
+        assert _sentence_bleu(words, words) == 1.0
+        # brevity penalty: hyp shorter than ref shrinks the score
+        assert 0.0 < _sentence_bleu(words, words[:6]) < 1.0
+        assert bleu_match(Ext("bought", ["the tech giant Acme Corp", "Beta Inc"]),
+                          Ext("bought", ["the tech giant Acme Corp", "Beta Inc"]))
+
+    def test_get_matcher_and_carb_pr_variant(self, spark):
+        import pytest
+
+        from openie_with_entities_spark.evaluate import carb_pr, get_matcher
+
+        assert get_matcher(None).__name__ == "binary_linient_tuple_match"
+        assert get_matcher("strict").__name__ == "tuple_match"
+        with pytest.raises(ValueError):
+            get_matcher("nope")
+        with pytest.raises(NotImplementedError):
+            get_matcher("bertscore")(Ext("r", ["a"]), Ext("r", ["a"]))
+
+        ddl = "sent_key string, arg1 string, rel string, arg2 string, confidence double"
+        gold = spark.createDataFrame([("s1", "Bob", "is", "chair", 1.0)], ddl)
+        pred = spark.createDataFrame([("s1", "Bob", "be", "chair", 0.9)], ddl)
+        # default (linient) credits be↔is; strict scores it zero
+        assert carb_pr(gold, pred).zero_conf_f1 == 1.0
+        assert carb_pr(gold, pred, matcher="strict").zero_conf_f1 == 0.0
+        # a binary matcher runs through the same path with 0/1 credit
+        assert carb_pr(gold, pred, matcher="pred").zero_conf_f1 == 1.0
