@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TRANSCRIPT_DDL = (
@@ -106,6 +106,7 @@ def streaming_clean_documents(
     )
     return gated.select(
         "doc_id",
+        F.col("_h").alias("content_hash"),  # reconcile key (see below)
         scrubbed.alias("text_clean"),
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
@@ -170,6 +171,124 @@ def write_epoch(
     ).partitionBy("epoch").parquet(os.path.join(out_path, "lineage"))
     df.unpersist()
     return n
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class ReconcileResult:
+    survivors: DataFrame  # the reconciled (globally deduped) table
+    epochs_reconciled: int
+    rows_in: int
+    dups_dropped: int
+
+
+def reconcile_stream_dedup(
+    spark: SparkSession,
+    out_path: str,
+    key: str = "content_hash",
+    id_col: str = "doc_id",
+) -> ReconcileResult:
+    """The batch half of the streaming/batch dedup split
+    streaming_clean_documents documents: duplicates spaced further apart
+    than the watermark survive the stream (their state evicted) and land in
+    different epochs — this job reconciles them globally.
+
+    Lineage-aware incremental design (never re-reads reconciled epochs):
+
+      <out>/data/epoch=N        streamed output (write_epoch)
+      <out>/reconcile/keepers   (key, epoch, id) — one row per first-seen key
+      <out>/reconcile/data/epoch=N   reconciled survivors of epoch N
+      <out>/reconcile/lineage   (epoch, rows_in, keepers_out)
+
+    Each run: NEW epochs (no lineage row) are scanned once; the first
+    (epoch, id) per key within them wins; candidates are then anti-joined
+    against the global keeper table, so a key already kept by an earlier
+    reconciled epoch drops every later copy. Both joins are equi-joins on
+    the 32-byte hash — shuffle keys never include document bodies, and the
+    keeper table is hash-partitioned corpus-metadata (key+ids), orders of
+    magnitude smaller than the corpus.
+
+    Crash safety: survivors (dynamic epoch overwrite, idempotent) →
+    keepers (append) → lineage (last). A crash between the last two
+    re-runs the epoch; the resulting duplicate keeper rows are harmless
+    because keeper reads reduce per key (min epoch/id) before joining."""
+    from pyspark.errors import AnalysisException
+
+    data_path = os.path.join(out_path, "data")
+    rec = os.path.join(out_path, "reconcile")
+    keepers_path = os.path.join(rec, "keepers")
+    lineage_path = os.path.join(rec, "lineage")
+
+    def _read(path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    data = _read(data_path)
+    if data is None:
+        return ReconcileResult(None, 0, 0, 0)
+    lineage = _read(lineage_path)
+    done = (
+        {r.epoch for r in lineage.select("epoch").distinct().collect()}
+        if lineage is not None
+        else set()
+    )
+    new = data.where(~F.col("epoch").isin(sorted(done))) if done else data
+    new = new.persist()
+    per_epoch_in = {
+        r["epoch"]: r["count"]
+        for r in new.groupBy("epoch").count().collect()
+    }
+    if not per_epoch_in:
+        new.unpersist()
+        survivors = _read(os.path.join(rec, "data"))
+        return ReconcileResult(survivors, 0, 0, 0)
+    rows_in = sum(per_epoch_in.values())
+
+    w = Window.partitionBy(key).orderBy("epoch", id_col)
+    candidates = (
+        new.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    keepers = _read(keepers_path)
+    if keepers is not None:
+        seen = keepers.groupBy(key).agg(
+            F.min("epoch").alias("_ke")
+        )  # reduce first: retried appends may hold duplicate keeper rows
+        candidates = candidates.join(seen, key, "left_anti")
+    survivors_new = candidates.persist()
+    n_keep = survivors_new.count()
+
+    survivors_new.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch").parquet(os.path.join(rec, "data"))
+    survivors_new.select(
+        key, "epoch", F.col(id_col).alias("id")
+    ).write.mode("append").parquet(keepers_path)
+    per_epoch_keep = {
+        r["epoch"]: r["count"]
+        for r in survivors_new.groupBy("epoch").count().collect()
+    }
+    spark.createDataFrame(
+        [
+            (int(e), int(per_epoch_in[e]), int(per_epoch_keep.get(e, 0)))
+            for e in per_epoch_in
+        ],
+        "epoch long, rows_in long, keepers_out long",
+    ).write.mode("append").parquet(lineage_path)
+    new.unpersist()
+    survivors_new.unpersist()
+    spark.catalog.refreshByPath(os.path.join(rec, "data"))
+    return ReconcileResult(
+        survivors=spark.read.parquet(os.path.join(rec, "data")),
+        epochs_reconciled=len(per_epoch_in),
+        rows_in=rows_in,
+        dups_dropped=rows_in - n_keep,
+    )
 
 
 def run_stream_to_table(

@@ -411,3 +411,96 @@ def test_streaming_clean_documents(spark, tmpdir):
     row = got[0]
     assert row.doc_id in (0, 1)  # first-arriving copy wins
     assert "<EMAIL>" in row.text_clean and "a@b.co" not in row.text_clean
+
+
+def test_reconcile_stream_dedup_cross_epoch(spark, tmpdir):
+    """Duplicates the stream's watermark horizon cannot see (different
+    epochs) are reconciled by the batch job: first (epoch, doc_id) per
+    content hash wins globally; the job is incremental (new epochs only)
+    and idempotent on re-run."""
+    from openie_with_entities_spark.streaming.ingest import (
+        reconcile_stream_dedup,
+        write_epoch,
+    )
+
+    out = os.path.join(tmpdir, "out")
+    ddl = "doc_id long, content_hash string, text_clean string"
+    e0 = spark.createDataFrame(
+        [(0, "hA", "alpha"), (1, "hB", "beta")], ddl
+    )
+    # epoch 1 re-delivers hA (beyond-watermark duplicate) + a fresh doc
+    e1 = spark.createDataFrame(
+        [(2, "hA", "alpha"), (3, "hC", "gamma")], ddl
+    )
+    write_epoch(spark, e0, 0, out)
+    write_epoch(spark, e1, 1, out)
+
+    r = reconcile_stream_dedup(spark, out)
+    assert (r.epochs_reconciled, r.rows_in, r.dups_dropped) == (2, 4, 1)
+    survivors = {(x.doc_id, x.content_hash) for x in r.survivors.collect()}
+    assert survivors == {(0, "hA"), (1, "hB"), (3, "hC")}
+
+    # idempotent: nothing new → no epochs reconciled, survivors unchanged
+    r2 = reconcile_stream_dedup(spark, out)
+    assert (r2.epochs_reconciled, r2.dups_dropped) == (0, 0)
+    assert r2.survivors.count() == 3
+
+    # a LATER epoch re-delivering an already-kept hash drops it against the
+    # persisted keeper table, not just within-batch
+    e2 = spark.createDataFrame([(4, "hB", "beta"), (5, "hD", "delta")], ddl)
+    write_epoch(spark, e2, 2, out)
+    r3 = reconcile_stream_dedup(spark, out)
+    assert (r3.epochs_reconciled, r3.rows_in, r3.dups_dropped) == (1, 2, 1)
+    assert {x.doc_id for x in r3.survivors.collect()} == {0, 1, 3, 5}
+
+
+def test_streaming_then_reconcile_end_to_end(spark, tmpdir):
+    """Full path: stream run 1 → more files arrive → stream run 2 (same
+    checkpoint, duplicate content with event time far beyond the
+    watermark) → the duplicate survives the STREAM but not the batch
+    reconcile."""
+    import datetime as dt
+
+    from openie_with_entities_spark.streaming.ingest import (
+        DOCUMENT_DDL,
+        reconcile_stream_dedup,
+        run_stream_to_table,
+        stream_documents,
+        streaming_clean_documents,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    good = ("the cat sat on the mat and it was a good day for all of us "
+            "to be here again")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame([(0, good, "s0", t0)], DOCUMENT_DDL).write.parquet(src)
+
+    def drain():
+        cleaned = streaming_clean_documents(
+            stream_documents(spark, src), watermark="10 minutes"
+        )
+        run_stream_to_table(cleaned, out, ckpt, once=True)
+
+    drain()
+    # the watermark only advances BETWEEN batches, so evicting doc0's hash
+    # state needs an intervening batch with later event times first…
+    t1 = t0 + dt.timedelta(hours=6)
+    other = good.replace("cat", "dog")
+    spark.createDataFrame([(5, other, "s0", t1)], DOCUMENT_DDL).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # …then the re-delivery of doc0's exact text slips past the stream
+    t2 = t1 + dt.timedelta(hours=1)
+    spark.createDataFrame([(9, good, "s0", t2)], DOCUMENT_DDL).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    streamed = spark.read.parquet(os.path.join(out, "data"))
+    assert streamed.count() == 3  # the documented streaming gap
+
+    r = reconcile_stream_dedup(spark, out)
+    assert r.dups_dropped == 1
+    assert {x.doc_id for x in r.survivors.collect()} == {0, 5}
