@@ -211,8 +211,9 @@ def main() -> None:
             # N→4N measurement lives in the pinned `--scaling` mode; the
             # most recent run is recorded in BASELINE.md §Round-3
             "scaling_evidence": (
-                "python bench.py --scaling: local[2]=12493, local[8]=55520, "
-                "local[32]=98101 turns/s; 2→8 efficiency 1.111 (see BASELINE.md)"
+                "cores: --scaling local[2]=12493/[8]=55520/[32]=98101 turns/s, "
+                "2→8 eff 1.111; data: 10× decade ratios ≤7.8, kg 159k turns/s "
+                "at 6.24M turns (BENCH_decade_r04.json, BASELINE.md)"
             ),
         }
     _emit(payload)
