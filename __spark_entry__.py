@@ -461,6 +461,7 @@ _FIRST_WINDOW = [
     "conv_neardup",
     "conv_pack",
     "conv_quality",
+    "conv_prepare",
     "s10_salted_resume",
     # round-4 changed (advisor fixes touched these code paths)
     "docs_tfidf_topk",
@@ -508,7 +509,6 @@ _FIRST_WINDOW = [
     "a5_violation_counters",
     "s6_oie_format",
     "e4_binarize",
-    "p12_decode_triple",
 ]
 
 

@@ -2132,10 +2132,16 @@ O_CONV_DEDUP = f"""
 
 
 def q_conv_neardup(spark, sf_dir):
+    """Bounded to doc_id < 1000 (≤500 convs at any sf) — the t=0.2
+    threshold keeps ~80% of each conv's shingles in the prefix index (vs
+    50% at the default 0.5), so an UNbounded sf0.1 run costs ~100s; the
+    slice pins the contract at sub-5s at every sf, same pattern as
+    emb_knn_graph's vec_id slice. The operator itself defaults to t=0.5."""
     from openie_with_entities_spark.operators.convops import conv_neardup_pairs
 
     return conv_neardup_pairs(
-        _conv2_transcripts(spark, sf_dir), threshold=0.2
+        _conv2_transcripts(spark, sf_dir).where("turn_idx < 1000"),
+        threshold=0.2,
     )
 
 
@@ -2143,7 +2149,7 @@ O_CONV_NEARDUP = f"""
     WITH {_CONV2_CTE},
     conv AS (
         SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
-        FROM tr GROUP BY conv_id),
+        FROM tr WHERE turn_idx < 1000 GROUP BY conv_id),
     sh AS (
         SELECT DISTINCT conv_id, substring(text, CAST(i AS INT), 15) AS shingle
         FROM conv,
@@ -2190,6 +2196,54 @@ O_CONV_PACK = f"""
            CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
     FROM c
 """
+
+
+def q_conv_prepare(spark, sf_dir):
+    from openie_with_entities_spark.operators.convops import (
+        prepare_conversations,
+    )
+
+    return prepare_conversations(_conv2_transcripts(spark, sf_dir))
+
+
+def o_conv_prepare() -> str:
+    from openie_with_entities_spark.operators.docops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+        WITH {_CONV2_CTE},
+        t2 AS (
+            SELECT *, len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS n_tok
+            FROM tr),
+        agg AS (
+            SELECT conv_id,
+                   md5(string_agg(role || chr(9) || text, chr(10)
+                                  ORDER BY turn_idx)) AS conv_hash,
+                   count(*) AS n_turns,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                       AS n_assistant,
+                   sum(n_tok) AS n_tokens,
+                   max(n_tok) AS max_turn_tokens
+            FROM t2 GROUP BY conv_id),
+        q AS (
+            SELECT * FROM agg
+            WHERE n_turns >= 2 AND n_user > 0 AND n_assistant > 0
+              AND n_tokens >= 16 AND max_turn_tokens <= 8192),
+        k AS (
+            SELECT conv_id FROM (
+                SELECT conv_id, row_number() OVER (
+                    PARTITION BY conv_hash ORDER BY conv_id) AS rn
+                FROM q) WHERE rn = 1)
+        SELECT tr.conv_id, turn_idx, role,
+               regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+                   '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g')
+                   AS text_clean
+        FROM tr JOIN k USING (conv_id)
+    """
 
 
 def q_conv_quality(spark, sf_dir):
@@ -2277,6 +2331,7 @@ def extra_queries() -> dict:
         "conv_neardup": q_conv_neardup,
         "conv_pack": q_conv_pack,
         "conv_quality": q_conv_quality,
+        "conv_prepare": q_conv_prepare,
         "s10_salted_resume": q_s10_salted_resume,
     }
 
@@ -2331,6 +2386,7 @@ def extra_oracles() -> dict:
         "conv_neardup": O_CONV_NEARDUP,
         "conv_pack": O_CONV_PACK,
         "conv_quality": O_CONV_QUALITY,
+        "conv_prepare": o_conv_prepare(),
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -131,6 +131,77 @@ def pack_conversations(
     )
 
 
+def prepare_conversations(
+    transcripts: DataFrame,
+    min_turns: int = 2,
+    min_tokens: int = 16,
+    max_turn_tokens: int = 8192,
+) -> DataFrame:
+    """The composed conversation-preparation pass a tuning pipeline runs —
+    the transcripts twin of docops.prepare_corpus: keep conversations that
+    pass the role-aware quality gates AND are their exact-duplicate
+    group's keeper, then scrub PII from the surviving turn texts. Returns
+    cleaned TRANSCRIPTS (turn granularity: conv_id, turn_idx, role,
+    text_clean).
+
+    Shape: ONE conv_id aggregate computes the canonical dedup hash and
+    every quality signal together; the keeper window runs over the tiny
+    conv-level table; survivors semi-join back to the turn table (plain
+    equi-join on conv_id — AQE broadcasts it at small scale, shuffles at
+    large, either is right). Exact duplicates have identical canonical
+    text and therefore identical quality signals, so keeper-among-
+    survivors ≡ keeper-among-all — the filter order cannot drop a group
+    whose keeper failed a gate its copies passed."""
+    from .docops import PII_EMAIL_RE, PII_PHONE_RE
+
+    n = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    canon = F.md5(
+        F.array_join(
+            F.transform(
+                ordered,
+                lambda t: F.concat_ws(_FIELD_SEP, t["role"], t["text"]),
+            ),
+            _TURN_SEP,
+        )
+    )
+    agg = transcripts.groupBy("conv_id").agg(
+        canon.alias("conv_hash"),
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+            "n_user"
+        ),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant"
+        ),
+        F.sum(n).alias("n_tokens"),
+        F.max(n).alias("max_turn_tokens"),
+    )
+    quality = agg.where(
+        (F.col("n_turns") >= min_turns)
+        & (F.col("n_user") > 0)
+        & (F.col("n_assistant") > 0)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("max_turn_tokens") <= max_turn_tokens)
+    )
+    w = Window.partitionBy("conv_hash").orderBy("conv_id")
+    keepers = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("conv_id")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return transcripts.join(keepers, "conv_id", "left_semi").select(
+        "conv_id", "turn_idx", "role", scrubbed.alias("text_clean")
+    )
+
+
 def conv_quality(
     transcripts: DataFrame,
     min_turns: int = 2,

@@ -139,3 +139,34 @@ def test_one_shuffle_plan(spark, convs):
     """conv_quality's window + aggregate must reuse ONE conv_id exchange."""
     plan = conv_quality(convs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestPrepareConversations:
+    def test_composed_gates_dedup_and_scrub(self, spark):
+        from openie_with_entities_spark.operators.convops import (
+            prepare_conversations,
+        )
+
+        long = " ".join(["tok"] * 20)
+        t = _tr(spark, [
+            # duplicate pair: only the min conv_id survives
+            ("a1", 0, "user", long), ("a1", 1, "assistant", "mail a@b.co ok"),
+            ("a2", 0, "user", long), ("a2", 1, "assistant", "mail a@b.co ok"),
+            # user-only monologue: dropped by the role gate
+            ("m", 0, "user", long), ("m", 1, "user", long),
+            # too short: dropped
+            ("s", 0, "user", "hi"), ("s", 1, "assistant", "yo"),
+            # good unique conversation with a phone number
+            ("u", 0, "user", long), ("u", 1, "assistant", "call +1 (415) 555-0100 now"),
+        ])
+        out = prepare_conversations(t).collect()
+        by_conv = {}
+        for r in out:
+            by_conv.setdefault(r.conv_id, []).append(r)
+        assert set(by_conv) == {"a1", "u"}
+        texts = {r.text_clean for r in by_conv["a1"]}
+        assert any("<EMAIL>" in x for x in texts)
+        assert not any("a@b.co" in x for x in texts)
+        assert any("<PHONE>" in r.text_clean for r in by_conv["u"])
+        # turn granularity preserved
+        assert sorted(r.turn_idx for r in by_conv["a1"]) == [0, 1]
