@@ -462,6 +462,8 @@ _FIRST_WINDOW = [
     "conv_pack",
     "conv_quality",
     "conv_prepare",
+    "docs_heavy_hitters",
+    "docs_unigram_logprob",
     "s10_salted_resume",
     # round-4 changed (advisor fixes touched these code paths)
     "docs_tfidf_topk",
@@ -507,8 +509,6 @@ _FIRST_WINDOW = [
     "m2_decode_coords",
     "a1_group_by_sentence",
     "a5_violation_counters",
-    "s6_oie_format",
-    "e4_binarize",
 ]
 
 

@@ -211,9 +211,9 @@ def main() -> None:
             # N→4N measurement lives in the pinned `--scaling` mode; the
             # most recent run is recorded in BASELINE.md §Round-3
             "scaling_evidence": (
-                "cores: --scaling local[2]=12493/[8]=55520/[32]=98101 turns/s, "
-                "2→8 eff 1.111; data: 10× decade ratios ≤7.8, kg 159k turns/s "
-                "at 6.24M turns (BENCH_decade_r04.json, BASELINE.md)"
+                "cores: r4 --scaling local[2]=15574/[8]=51080/[32]=88984, "
+                "2→8 eff 0.82 (r3 best 98101, eff 1.111); data: 10× decade "
+                "ratios ≤7.8, kg 159k turns/s at 6.24M turns (BASELINE.md)"
             ),
         }
     _emit(payload)

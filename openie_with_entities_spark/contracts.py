@@ -2047,6 +2047,56 @@ O_KNN = """
 
 
 # --------------------------------------------------------------------------
+# Heavy hitters + unigram log-prob (docops) — vocabulary-scale patterns
+# --------------------------------------------------------------------------
+
+
+def q_docs_heavy_hitters(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import heavy_hitters
+
+    return heavy_hitters(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), phi=0.001
+    )
+
+
+O_HEAVY_HITTERS = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    t AS (
+        SELECT token, count(*) AS cnt FROM toks
+        WHERE token <> '' GROUP BY token),
+    n AS (SELECT sum(cnt) AS n FROM t)
+    SELECT token, cnt FROM t, n WHERE cnt > 0.001 * n
+"""
+
+
+def q_docs_unigram_logprob(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import (
+        unigram_logprob_score,
+    )
+
+    return unigram_logprob_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+O_UNIGRAM_LP = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    tk AS (SELECT * FROM toks WHERE token <> ''),
+    c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+    v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 65536),
+    n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)
+    SELECT tk.doc_id,
+           round(avg(log10(coalesce(v.cnt, 1) / n.n)), 4) AS mean_logprob,
+           count(*) AS n_scored_tokens
+    FROM tk LEFT JOIN v USING (token), n
+    GROUP BY tk.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Conversation-level corpus ops (operators/convops.py) — transcripts derived
 # DETERMINISTICALLY from the documents table so the DuckDB oracle can rebuild
 # the identical conversations in SQL: 2-turn convs (doc pairs) for
@@ -2332,6 +2382,8 @@ def extra_queries() -> dict:
         "conv_pack": q_conv_pack,
         "conv_quality": q_conv_quality,
         "conv_prepare": q_conv_prepare,
+        "docs_heavy_hitters": q_docs_heavy_hitters,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "s10_salted_resume": q_s10_salted_resume,
     }
 
@@ -2387,6 +2439,8 @@ def extra_oracles() -> dict:
         "conv_pack": O_CONV_PACK,
         "conv_quality": O_CONV_QUALITY,
         "conv_prepare": o_conv_prepare(),
+        "docs_heavy_hitters": O_HEAVY_HITTERS,
+        "docs_unigram_logprob": O_UNIGRAM_LP,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

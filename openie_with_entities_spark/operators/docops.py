@@ -321,6 +321,126 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+def heavy_hitters(docs: DataFrame, phi: float = 0.001) -> DataFrame:
+    """Frequent tokens (count > φ·N) by two-pass Misra–Gries: the
+    bounded-memory heavy-hitter pattern a 100 TB vocabulary pass needs.
+
+    Pass 1 streams each partition once through a ⌈1/φ⌉-counter Misra–Gries
+    summary (mapInPandas, O(1/φ) memory per task, NO shuffle of the token
+    stream); per-partition candidates merge on the driver — bounded by
+    n_partitions·⌈1/φ⌉ rows, corpus-size-independent. MG guarantees every
+    token with true count > φ·N survives SOME partition summary (a
+    per-partition sketch admits anything above φ·n_partition, and a
+    global heavy hitter must exceed that share in at least one partition),
+    so the candidate set is a superset of the answer. Pass 2 recounts ONLY
+    candidate tokens exactly (in-row array_intersect-style filter before
+    the aggregate, so the shuffle carries candidate counts, not the
+    corpus) and applies the exact threshold — making the result EXACT and
+    engine-portable (the DuckDB oracle is a plain count/HAVING), while
+    both passes stay bounded-memory at any scale.
+
+    Output: (token, cnt) for every token with cnt > φ·N, N = total token
+    count (empty tokens excluded)."""
+    from collections.abc import Iterator
+
+    k = max(int(1.0 / phi), 1)
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:  # decrement-all step, drop zeros
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    spark = docs.sparkSession
+    candidates = sorted(
+        {r.token for r in docs.select("text").mapInPandas(
+            mg_partition, "token string"
+        ).collect()}
+    )
+    cand_df = spark.createDataFrame(
+        [(c,) for c in candidates] or [("",)], "token string"
+    ).where(F.col("token") != "")
+    toks = tokenize(F.col("text"))
+    n_total = docs.agg(
+        F.sum(F.size(F.filter(toks, lambda t: t != ""))).alias("_n")
+    )
+    # candidate filter as a broadcast hash SEMI join (O(1) probe per token;
+    # an array-literal membership test would scan the candidate list
+    # linearly per token) — map-side, so only candidate occurrences reach
+    # the count shuffle
+    counts = (
+        _spread(docs)
+        .select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .join(F.broadcast(cand_df), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(n_total))
+        .where(F.col("cnt") > phi * F.col("_n"))
+        .select("token", "cnt")
+    )
+
+
+def unigram_logprob_score(
+    docs: DataFrame, vocab_size: int = 65536
+) -> DataFrame:
+    """CCNet-style fluency signal: per-document mean unigram log₁₀
+    probability under the corpus's own token distribution — wikipedia-like
+    text scores high, gibberish/boilerplate scores low. Two passes: a
+    map-combinable global count aggregate keeps the top-``vocab_size``
+    tokens (ties broken by token so the vocabulary is deterministic), the
+    scoring join broadcasts that bounded vocabulary; out-of-vocabulary
+    tokens take the standard floor log10(1/N) (count "1"). Scores rounded
+    to 4 decimals for cross-engine equality.
+
+    Shuffle story at 100 TB: one token-count aggregate (hash keys, partial
+    aggregation) + one broadcast join keyed per token occurrence — the
+    document text itself never shuffles (explode feeds the join
+    map-side)."""
+    toks_e = (
+        _spread(docs)
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    counts = toks_e.groupBy("token").agg(F.count("*").alias("cnt"))
+    # top-V via sort-limit (TakeOrderedAndProject: per-partition local
+    # top-V, then a single bounded merge — never a global sort of the
+    # vocabulary table, which a row_number window would force)
+    vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
+    n_total = counts.agg(F.sum("cnt").cast("double").alias("_n"))
+    scored = (
+        toks_e.join(F.broadcast(vocab), "token", "left")
+        .join(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.log10(F.coalesce(F.col("cnt"), F.lit(1)) / F.col("_n")).alias(
+                "_lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+        F.count("*").alias("n_scored_tokens"),
+    )
+
+
 def contamination_check(
     docs: DataFrame, benchmark_texts: list[str], k: int = 15
 ) -> DataFrame:

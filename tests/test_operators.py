@@ -690,3 +690,67 @@ def test_knn_join_lsh_recall_on_clusters(spark):
     assert len(exact) == 200 * 5
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"knn recall@5 = {recall}"
+
+
+class TestHeavyHitters:
+    def test_exact_threshold_and_mg_superset(self, spark):
+        """A heavy token spread across MANY partitions must survive the
+        per-partition Misra-Gries pass (the superset guarantee) and the
+        exact recount must apply the > phi*N cutoff exactly."""
+        from openie_with_entities_spark.operators.docops import heavy_hitters
+
+        # 64 docs over 8 partitions; 'hot' appears 3x/doc = 192 of 640
+        # tokens; each cold token is unique
+        rows = [(i, "hot hot hot c%da c%db c%dc c%dd c%de c%df c%dg" %
+                 ((i,) * 7), "s") for i in range(64)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).repartition(8)
+        got = {r.token: r.cnt for r in heavy_hitters(docs, phi=0.05).collect()}
+        assert got == {"hot": 192}  # 192 > 0.05*640=32; every c* is 1
+
+    def test_boundary_is_strict_gt(self, spark):
+        from openie_with_entities_spark.operators.docops import heavy_hitters
+
+        # 'x' = 5 of 50 tokens; phi=0.1 → cutoff 5, strict > excludes it
+        rows = [(i, "x " + " ".join(f"u{i}_{j}" for j in range(9)), "s")
+                for i in range(5)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        assert heavy_hitters(docs, phi=0.1).count() == 0
+        got = {r.token for r in heavy_hitters(docs, phi=0.09).collect()}
+        assert got == {"x"}
+
+
+class TestUnigramLogprob:
+    def test_common_tokens_score_higher(self, spark):
+        from openie_with_entities_spark.operators.docops import (
+            unigram_logprob_score,
+        )
+
+        common = "the quick brown fox " * 5
+        rare = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 "
+        docs = spark.createDataFrame(
+            [(0, common.strip(), "s"), (1, common.strip(), "s"),
+             (2, rare.strip(), "s")],
+            "doc_id long, text string, source string",
+        )
+        by_id = {r.doc_id: r for r in unigram_logprob_score(docs).collect()}
+        assert by_id[0].mean_logprob > by_id[2].mean_logprob
+        assert by_id[0].mean_logprob == by_id[1].mean_logprob
+        assert by_id[2].n_scored_tokens == 10
+
+    def test_oov_floor_under_small_vocab(self, spark):
+        from openie_with_entities_spark.operators.docops import (
+            unigram_logprob_score,
+        )
+        import math
+
+        docs = spark.createDataFrame(
+            [(0, "a a a a b", "s")], "doc_id long, text string, source string"
+        )
+        # vocab_size=1 keeps only 'a' (4/5); 'b' takes the 1/N floor
+        row = unigram_logprob_score(docs, vocab_size=1).collect()[0]
+        expected = (4 * math.log10(4 / 5) + math.log10(1 / 5)) / 5
+        assert abs(row.mean_logprob - round(expected, 4)) < 1e-9
