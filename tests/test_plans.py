@@ -169,3 +169,35 @@ def test_jaccard_candidate_join_is_hash_join_on_longs(spark):
     # checkpointed RDD), converted to BroadcastHashJoin at runtime
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "shingle" not in plan, plan  # candidates carry hashes only
+
+
+def test_unigram_vocab_is_sort_limit_not_global_window(spark):
+    """Top-V vocabulary selection must plan as TakeOrderedAndProject
+    (distributed per-partition top-V + bounded merge), never a
+    single-partition row_number window over the vocabulary table."""
+    from openie_with_entities_spark.operators.docops import (
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here", "s") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    plan = unigram_logprob_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    """The exact recount must filter the token stream through a BROADCAST
+    semi join on the bounded candidate set — the corpus-side explode must
+    not shuffle before the join."""
+    from openie_with_entities_spark.operators.docops import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "hot hot cold%d" % i, "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    plan = heavy_hitters(docs, phi=0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
