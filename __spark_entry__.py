@@ -463,6 +463,7 @@ _FIRST_WINDOW = [
     "conv_quality",
     "conv_prepare",
     "docs_heavy_hitters",
+    "docs_mixture_sample",
     "docs_unigram_logprob",
     "s10_salted_resume",
     # round-4 changed (advisor fixes touched these code paths)
@@ -508,7 +509,6 @@ _FIRST_WINDOW = [
     "m3_conj_split",
     "m2_decode_coords",
     "a1_group_by_sentence",
-    "a5_violation_counters",
 ]
 
 

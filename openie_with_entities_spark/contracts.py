@@ -2070,6 +2070,46 @@ O_HEAVY_HITTERS = """
 """
 
 
+# mixture over the 20 synthetic sources: srcN gets weight 1 + (N % 3),
+# srch19 held out of the dict → dropped by the inner join. Spelled as a
+# shared literal so query and oracle can't drift.
+_MIX_WEIGHTS = {f"src{i}": float(1 + i % 3) for i in range(19)}
+
+
+def q_docs_mixture_sample(spark, sf_dir):
+    from openie_with_entities_spark.operators.docops import mixture_sample
+
+    return mixture_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), _MIX_WEIGHTS
+    )
+
+
+def o_docs_mixture_sample() -> str:
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+        WITH w(source, w) AS (VALUES {values}),
+        n AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents),
+        ps AS (SELECT source, sum(n_tokens) AS tokens_s
+               FROM n GROUP BY source),
+        pw AS (SELECT ps.source, tokens_s, w FROM ps JOIN w USING (source)),
+        t AS (SELECT min(tokens_s / w) AS T FROM pw),
+        r AS (SELECT source, round(w * T / tokens_s, 8) AS rate FROM pw, t)
+        SELECT n.doc_id, n.source, CAST(n.n_tokens AS INT) AS n_tokens,
+               r.rate,
+               (r.rate >= 1.0 OR
+                substring(md5('mix1:' || CAST(n.doc_id AS VARCHAR)), 1, 8)
+                  < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296)
+                                           AS BIGINT))), 8, '0')) AS keep
+        FROM n JOIN r ON n.source = r.source
+    """
+
+
 def q_docs_unigram_logprob(spark, sf_dir):
     from openie_with_entities_spark.operators.docops import (
         unigram_logprob_score,
@@ -2383,6 +2423,7 @@ def extra_queries() -> dict:
         "conv_quality": q_conv_quality,
         "conv_prepare": q_conv_prepare,
         "docs_heavy_hitters": q_docs_heavy_hitters,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "s10_salted_resume": q_s10_salted_resume,
     }
@@ -2440,6 +2481,7 @@ def extra_oracles() -> dict:
         "conv_quality": O_CONV_QUALITY,
         "conv_prepare": o_conv_prepare(),
         "docs_heavy_hitters": O_HEAVY_HITTERS,
+        "docs_mixture_sample": o_docs_mixture_sample(),
         "docs_unigram_logprob": O_UNIGRAM_LP,
     }
     if _S10_N_TRIPLES is not None:

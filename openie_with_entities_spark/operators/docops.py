@@ -181,6 +181,71 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    docs: DataFrame, weights: dict[str, float], salt: str = "mix1"
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling (the data-mixing step a
+    pre-training pipeline runs before packing): given target mixture
+    weights per source, keep each source at rate w_s·T/tokens_s where
+    T = min_s tokens_s/w_s — the largest target corpus achievable without
+    upsampling any source, so every rate ∈ (0, 1] and the kept corpus's
+    token mixture converges to the requested weights.
+
+    The keep decision reuses train_split's engine-portable primitive: an
+    8-hex-digit md5 prefix of (salt, doc_id) compared against the rate as
+    a hex threshold — stable under reshuffles, re-derivable from the id,
+    changeable only via ``salt``. rate arithmetic is a fixed sequence of
+    IEEE double ops (sum, min, mul, div, round) so both engines produce
+    bit-identical rates; rate ≥ 1 short-circuits (its 9-hex-char
+    threshold would compare lexicographically WRONG against an 8-char
+    digest). Sources absent from ``weights`` are dropped (inner join) —
+    the mixture defines the corpus.
+
+    Shuffle story: one tiny per-source aggregate + two broadcast joins;
+    the document table itself never shuffles."""
+    spark = docs.sparkSession
+    w_rows = [(s, float(w)) for s, w in sorted(weights.items())]
+    if not w_rows:
+        raise ValueError("weights must be a non-empty {source: weight} map")
+    wdf = spark.createDataFrame(w_rows, "source string, w double")
+    n = F.size(F.filter(tokenize(F.col("text")), lambda t: t != ""))
+    per_src = (
+        docs.groupBy("source")
+        .agg(F.sum(n).alias("tokens_s"))
+        .join(F.broadcast(wdf), "source")
+    )
+    t_min = per_src.agg(
+        F.min(F.col("tokens_s") / F.col("w")).alias("_T")
+    )
+    rates = per_src.join(F.broadcast(t_min)).select(
+        "source",
+        F.round(F.col("w") * F.col("_T") / F.col("tokens_s"), 8).alias(
+            "rate"
+        ),
+    )
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.col("rate") * F.lit(float(16 ** 8))).cast("long"))
+        ),
+        8,
+        "0",
+    )
+    return (
+        docs.select("doc_id", "source", n.alias("n_tokens"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "rate",
+            ((F.col("rate") >= 1.0) | (h < thr)).alias("keep"),
+        )
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     """Per-document top-k tokens by TF·IDF — the standard keyword/topic
     profile over a corpus. tf = in-document count, idf = ln(1 + N/df)

@@ -754,3 +754,46 @@ class TestUnigramLogprob:
         row = unigram_logprob_score(docs, vocab_size=1).collect()[0]
         expected = (4 * math.log10(4 / 5) + math.log10(1 / 5)) / 5
         assert abs(row.mean_logprob - round(expected, 4)) < 1e-9
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        rows = []
+        did = 0
+        for src, n_docs, toks in (("a", 30, 10), ("b", 10, 10), ("c", 5, 10)):
+            for _ in range(n_docs):
+                rows.append((did, " ".join(f"t{did}_{j}" for j in range(toks)), src))
+                did += 1
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_rates_hit_target_mixture(self, spark):
+        from openie_with_entities_spark.operators.docops import mixture_sample
+
+        docs = self._docs(spark)
+        # equal weights: c (50 tokens) is the binding source → rate 1.0;
+        # a (300) → 1/6, b (100) → 1/2
+        out = mixture_sample(docs, {"a": 1.0, "b": 1.0, "c": 1.0})
+        rates = {r.source: r.rate for r in
+                 out.select("source", "rate").distinct().collect()}
+        assert rates == {"a": round(1 / 6, 8), "b": 0.5, "c": 1.0}
+        # rate-1.0 source keeps EVERY doc (the >=1 short-circuit)
+        kept_c = out.where("source = 'c' and keep").count()
+        assert kept_c == 5
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        from openie_with_entities_spark.operators.docops import mixture_sample
+
+        docs = self._docs(spark)
+        w = {"a": 1.0, "b": 2.0}
+        one = {(r.doc_id, r.keep) for r in mixture_sample(docs, w).collect()}
+        two = {(r.doc_id, r.keep) for r in mixture_sample(docs, w).collect()}
+        assert one == two
+        other = {(r.doc_id, r.keep)
+                 for r in mixture_sample(docs, w, salt="v2").collect()}
+        assert one != other  # different salt → different sample
+        # unweighted source c is dropped entirely
+        assert not any(
+            r.source == "c" for r in mixture_sample(docs, w).collect()
+        )
