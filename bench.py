@@ -144,8 +144,14 @@ def _emit(payload: dict) -> None:
     compact["n_queries_total"] = len(queries)
     compact["queries_full"] = "BENCH_full.json"
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt and braces: drop to the 5 slowest
-        compact["queries"] = dict(list(slowest.items())[:5])
+    if len(line) > 1900:  # belt and braces: shrink but KEEP kg_pipeline
+        keep5 = dict(list(slowest.items())[:5])
+        if "kg_pipeline" in queries:
+            keep5["kg_pipeline"] = queries["kg_pipeline"]
+        compact["queries"] = keep5
+        line = json.dumps(compact)
+    if len(line) > 1900:  # last resort: summary fields only
+        compact["queries"] = {}
         line = json.dumps(compact)
     print(line)
 

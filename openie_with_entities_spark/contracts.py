@@ -1091,19 +1091,27 @@ def o_e6() -> str:
 # --------------------------------------------------------------------------
 
 
-def q_s10_checkpoint_resume(spark, sf_dir):
+def _s10_resume(spark, link_mode: str, prefix: str):
+    """Shared body of the two s10 resume contracts (inline vs salted link
+    path): run the full production pipeline twice against one checkpoint
+    dir and report the resume counts. Both entries share o_s10 — the
+    salted ≡ inline parity is a pytest gate (test_production.py), so the
+    counts must be identical."""
+    import shutil
     import tempfile
 
     from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
     from openie_with_entities_spark.plans.production import run_production
 
-    import shutil
-
-    out = tempfile.mkdtemp(prefix="s10_contract_")
+    out = tempfile.mkdtemp(prefix=prefix)
     t = generate_transcripts(spark, 20)
-    first = run_production(spark, t, alias_dict(spark), out, n_buckets=8)
+    first = run_production(
+        spark, t, alias_dict(spark), out, n_buckets=8, link_mode=link_mode
+    )
     n_triples = first.triples.count()
-    second = run_production(spark, t, alias_dict(spark), out, n_buckets=8)
+    second = run_production(
+        spark, t, alias_dict(spark), out, n_buckets=8, link_mode=link_mode
+    )
     lineage = spark.read.parquet(os.path.join(out, "triples", "lineage"))
     result = spark.createDataFrame(
         [
@@ -1124,44 +1132,16 @@ def q_s10_checkpoint_resume(spark, sf_dir):
     return result
 
 
+def q_s10_checkpoint_resume(spark, sf_dir):
+    return _s10_resume(spark, "inline", "s10_contract_")
+
+
 def q_s10_salted_resume(spark, sf_dir):
     """Checkpoint/resume through the SALTED link path (dictionary too big
-    to broadcast): same oracle as s10 — salted ≡ inline link parity is a
-    pytest gate (test_production.py), so the triple count and the resume
-    bucket counts must be identical. This makes the beyond-broadcast
-    path's checkpoint behavior driver-witnessed, not just
-    pytest-witnessed."""
-    import shutil
-    import tempfile
-
-    from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
-    from openie_with_entities_spark.plans.production import run_production
-
-    out = tempfile.mkdtemp(prefix="s10_salted_contract_")
-    t = generate_transcripts(spark, 20)
-    first = run_production(
-        spark, t, alias_dict(spark), out, n_buckets=8, link_mode="salted"
-    )
-    n_triples = first.triples.count()
-    second = run_production(
-        spark, t, alias_dict(spark), out, n_buckets=8, link_mode="salted"
-    )
-    lineage = spark.read.parquet(os.path.join(out, "triples", "lineage"))
-    result = spark.createDataFrame(
-        [
-            (
-                first.buckets_processed, first.buckets_skipped,
-                second.buckets_processed, second.buckets_skipped,
-                n_triples, second.triples.count(),
-                lineage.select("bucket").distinct().count(),
-            )
-        ],
-        "first_processed int, first_skipped int, second_processed int, "
-        "second_skipped int, n_triples long, n_triples_resumed long, "
-        "n_lineage_buckets long",
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    return result
+    to broadcast) — makes the beyond-broadcast path's checkpoint behavior
+    driver-witnessed, not just pytest-witnessed. Body shared with the
+    inline entry (_s10_resume)."""
+    return _s10_resume(spark, "salted", "s10_salted_contract_")
 
 
 def o_s10(n_triples: int) -> str:

@@ -392,8 +392,10 @@ def heavy_hitters(docs: DataFrame, phi: float = 0.001) -> DataFrame:
 
     Pass 1 streams each partition once through a ⌈1/φ⌉-counter Misra–Gries
     summary (mapInPandas, O(1/φ) memory per task, NO shuffle of the token
-    stream); per-partition candidates merge on the driver — bounded by
-    n_partitions·⌈1/φ⌉ rows, corpus-size-independent. MG guarantees every
+    stream); the per-partition candidate union stays a LAZY DataFrame
+    (distinct + broadcast — bounded by n_partitions·⌈1/φ⌉ rows,
+    corpus-size-independent), so building the plan costs nothing and the
+    MG scan runs only when the query executes. MG guarantees every
     token with true count > φ·N survives SOME partition summary (a
     per-partition sketch admits anything above φ·n_partition, and a
     global heavy hitter must exceed that share in at least one partition),
@@ -431,15 +433,11 @@ def heavy_hitters(docs: DataFrame, phi: float = 0.001) -> DataFrame:
                             del counters[key]
         yield pd.DataFrame({"token": list(counters.keys())})
 
-    spark = docs.sparkSession
-    candidates = sorted(
-        {r.token for r in docs.select("text").mapInPandas(
-            mg_partition, "token string"
-        ).collect()}
+    cand_df = (
+        docs.select("text")
+        .mapInPandas(mg_partition, "token string")
+        .distinct()
     )
-    cand_df = spark.createDataFrame(
-        [(c,) for c in candidates] or [("",)], "token string"
-    ).where(F.col("token") != "")
     toks = tokenize(F.col("text"))
     n_total = docs.agg(
         F.sum(F.size(F.filter(toks, lambda t: t != ""))).alias("_n")

@@ -178,7 +178,9 @@ from dataclasses import dataclass
 
 @dataclass
 class ReconcileResult:
-    survivors: DataFrame  # the reconciled (globally deduped) table
+    # the reconciled (globally deduped) table; None when nothing has ever
+    # been streamed OR reconciled yet (no data/ and no reconcile/data/)
+    survivors: DataFrame | None
     epochs_reconciled: int
     rows_in: int
     dups_dropped: int
@@ -211,10 +213,20 @@ def reconcile_stream_dedup(
     magnitude smaller than the corpus.
 
     Crash safety: survivors (dynamic epoch overwrite, idempotent) →
-    keepers (append) → lineage (last). A crash between the last two
-    re-runs the epoch; the resulting duplicate keeper rows are harmless
-    because keeper reads reduce per key (min epoch/id) before joining."""
+    keepers (append) → lineage (last). Keeper rows only COUNT once their
+    epoch has a lineage row: a crash between the keepers append and the
+    lineage write leaves a partial keeper set for that epoch, and a re-run
+    that honored it would anti-join away the very candidates it is
+    re-deriving — permanently dropping them from the overwritten epoch
+    partition. Filtering keepers to lineage-complete epochs makes the
+    re-run recompute the epoch from scratch; the duplicate keeper rows it
+    appends are harmless (anti-join membership ignores multiplicity).
+    An UNREADABLE (vs merely absent) keeper/lineage table fails loudly —
+    treating it as first-run would silently re-keep already-kept hashes
+    (same invariant as plans.checkpoint.completed_buckets)."""
     from pyspark.errors import AnalysisException
+
+    from ..plans.checkpoint import _is_path_missing
 
     data_path = os.path.join(out_path, "data")
     rec = os.path.join(out_path, "reconcile")
@@ -224,8 +236,10 @@ def reconcile_stream_dedup(
     def _read(path):
         try:
             return spark.read.parquet(path)
-        except AnalysisException:
-            return None
+        except AnalysisException as e:
+            if _is_path_missing(e):
+                return None
+            raise
 
     data = _read(data_path)
     if data is None:
@@ -256,9 +270,11 @@ def reconcile_stream_dedup(
     )
     keepers = _read(keepers_path)
     if keepers is not None:
-        seen = keepers.groupBy(key).agg(
-            F.min("epoch").alias("_ke")
-        )  # reduce first: retried appends may hold duplicate keeper rows
+        # only lineage-COMPLETE epochs' keepers count (see docstring); no
+        # dedup needed before a left_anti — membership ignores multiplicity
+        seen = keepers.where(
+            F.col("epoch").isin(sorted(done)) if done else F.lit(False)
+        ).select(key)
         candidates = candidates.join(seen, key, "left_anti")
     survivors_new = candidates.persist()
     n_keep = survivors_new.count()

@@ -152,6 +152,11 @@ def main() -> None:
     print(f"| kg_pipeline (fused) | {k1['n_turns']} turns | {k1['sec']} | "
           f"{k10['n_turns']} turns | {k10['sec']} | {results['kg_ratio']} |")
     spark.stop()
+    # the 10× corpus lives on tmpfs-backed /tmp by default — don't leave
+    # ~10×-sf parquet resident in RAM after the benchmark exits
+    import shutil
+
+    shutil.rmtree(big_path, ignore_errors=True)
 
 
 if __name__ == "__main__":

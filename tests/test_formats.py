@@ -504,3 +504,43 @@ def test_streaming_then_reconcile_end_to_end(spark, tmpdir):
     r = reconcile_stream_dedup(spark, out)
     assert r.dups_dropped == 1
     assert {x.doc_id for x in r.survivors.collect()} == {0, 5}
+
+
+def test_reconcile_partial_keeper_crash_window(spark, tmpdir):
+    """A crash between the keepers append and the lineage write must NOT
+    lose rows: the re-run ignores keeper rows from lineage-incomplete
+    epochs, recomputes the epoch from scratch, and the duplicate keeper
+    rows it appends are harmless."""
+    from openie_with_entities_spark.streaming.ingest import (
+        reconcile_stream_dedup,
+        write_epoch,
+    )
+
+    out = os.path.join(tmpdir, "out")
+    ddl = "doc_id long, content_hash string, text_clean string"
+    write_epoch(spark, spark.createDataFrame([(0, "hA", "alpha")], ddl), 0, out)
+    r0 = reconcile_stream_dedup(spark, out)
+    assert r0.epochs_reconciled == 1
+
+    # epoch 1 arrives; simulate the crashed reconcile: a PARTIAL keeper
+    # append for epoch 1 (hB only) with NO lineage row
+    write_epoch(
+        spark,
+        spark.createDataFrame([(1, "hB", "beta"), (2, "hC", "gamma")], ddl),
+        1,
+        out,
+    )
+    spark.createDataFrame(
+        [("hB", 1, 1)], "content_hash string, epoch long, id long"
+    ).write.mode("append").parquet(os.path.join(out, "reconcile", "keepers"))
+
+    r1 = reconcile_stream_dedup(spark, out)
+    assert (r1.epochs_reconciled, r1.dups_dropped) == (1, 0)
+    # hB must SURVIVE despite its orphaned keeper row
+    assert {x.content_hash for x in r1.survivors.collect()} == {"hA", "hB", "hC"}
+    # and a later epoch re-delivering hB is still dropped (epoch 1 now
+    # lineage-complete, so its keepers — including the duplicate — count)
+    write_epoch(spark, spark.createDataFrame([(9, "hB", "beta")], ddl), 2, out)
+    r2 = reconcile_stream_dedup(spark, out)
+    assert r2.dups_dropped == 1
+    assert r2.survivors.count() == 3
