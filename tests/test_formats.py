@@ -530,8 +530,10 @@ def test_reconcile_partial_keeper_crash_window(spark, tmpdir):
         1,
         out,
     )
+    # epoch must be INT to match the real keeper files (it originates from
+    # the inferred epoch=N partition column)
     spark.createDataFrame(
-        [("hB", 1, 1)], "content_hash string, epoch long, id long"
+        [("hB", 1, 1)], "content_hash string, epoch int, id long"
     ).write.mode("append").parquet(os.path.join(out, "reconcile", "keepers"))
 
     r1 = reconcile_stream_dedup(spark, out)
