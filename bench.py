@@ -219,7 +219,7 @@ def main() -> None:
             "scaling_evidence": (
                 "cores: r4 --scaling local[2]=15574/[8]=51080/[32]=88984, "
                 "2→8 eff 0.82 (r3 best 98101, eff 1.111); data: 10× decade "
-                "ratios ≤7.8, kg 159k turns/s at 6.24M turns (BASELINE.md)"
+                "ratios ≤7.8, kg 185k turns/s at 6.24M turns (BASELINE.md)"
             ),
         }
     _emit(payload)

@@ -82,6 +82,8 @@ def doc_ops():
         "docs_simhash": docops.simhash64,
         "docs_prepare_corpus": docops.prepare_corpus,
         "docs_winnowing": docops.winnowing_fingerprint,
+        "docs_heavy_hitters": docops.heavy_hitters,
+        "docs_unigram_logprob": docops.unigram_logprob_score,
     }
 
 
