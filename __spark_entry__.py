@@ -457,6 +457,7 @@ def _media_features(spark, sf_dir):
 _FIRST_WINDOW = [
     # round-4 new
     "e1_matcher_variants",
+    "e2_carb_ss",
     "conv_dedup_exact",
     "conv_neardup",
     "conv_pack",
@@ -508,7 +509,6 @@ _FIRST_WINDOW = [
     "m4_oie_stage",
     "m3_conj_split",
     "m2_decode_coords",
-    "a1_group_by_sentence",
 ]
 
 

@@ -1037,6 +1037,52 @@ O_E2 = """
 
 
 # --------------------------------------------------------------------------
+# E2b — the --single_match ('ss') recall strategy (carb.py:242-269,
+# CLI carb.py:512-513): recall via greedy 1-1 instead of per-gold max, so
+# one prediction credits at most one gold. Fixture: ONE sentence, TWO gold
+# rows, ONE prediction matching both (g1 fully, g2 at 0.75 recall).
+#   sm: prec 1.0, rec (1.0+0.75)/2 = 0.875, f1 0.9333, AUC 0.875
+#   ss: prec 1.0, rec 1.0/2 = 0.5,          f1 0.6667, AUC 0.5
+# --------------------------------------------------------------------------
+
+
+def q_e2_carb_ss(spark, sf_dir):
+    from openie_with_entities_spark.evaluate import carb_pr
+
+    gold = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 1.0),
+            ("s1", "Ada", "founded", "Acme Corp", 1.0),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    pred = spark.createDataFrame(
+        [("s1", "Ada", "founded", "Acme", 0.9)],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    rows = []
+    for strategy in ("sm", "ss"):
+        r = carb_pr(gold, pred, strategy=strategy)
+        rows.append(
+            (strategy, r.zero_conf_precision, r.zero_conf_recall,
+             r.zero_conf_f1, r.auc)
+        )
+    return spark.createDataFrame(
+        rows,
+        "strategy string, zc_precision double, zc_recall double, "
+        "zc_f1 double, auc double",
+    )
+
+
+O_E2_SS = """
+    SELECT * FROM (VALUES
+        ('sm', 1.0, 0.875, 0.9333, 0.875),
+        ('ss', 1.0, 0.5, 0.6667, 0.5)
+    ) AS t(strategy, zc_precision, zc_recall, zc_f1, auc)
+"""
+
+
+# --------------------------------------------------------------------------
 # E6 — F1 / trapezoid-AUC math over a PR-curve fixture (native twins)
 # --------------------------------------------------------------------------
 
@@ -2397,6 +2443,7 @@ def extra_queries() -> dict:
         "docs_prepare_corpus": q_docs_prepare_corpus,
         "emb_knn_graph": q_emb_knn_graph,
         "e1_matcher_variants": q_e1_matcher_variants,
+        "e2_carb_ss": q_e2_carb_ss,
         "conv_dedup_exact": q_conv_dedup_exact,
         "conv_neardup": q_conv_neardup,
         "conv_pack": q_conv_pack,
@@ -2455,6 +2502,7 @@ def extra_oracles() -> dict:
         "docs_prepare_corpus": o_docs_prepare_corpus(),
         "emb_knn_graph": O_KNN,
         "e1_matcher_variants": O_E1V,
+        "e2_carb_ss": O_E2_SS,
         "conv_dedup_exact": O_CONV_DEDUP,
         "conv_neardup": O_CONV_NEARDUP,
         "conv_pack": O_CONV_PACK,

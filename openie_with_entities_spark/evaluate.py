@@ -400,10 +400,17 @@ def sentence_contributions(
     preds: list[Ext],
     thresholds: list[float],
     matcher=binary_linient_tuple_match,
+    strategy: str = "sm",
 ) -> np.ndarray:
     """(num_conf, 4) array of [prec_num, prec_den, rec_num, rec_den] for one
     sentence at each confidence cutoff. ``matcher`` is any MATCHERS entry;
-    binary (bool) matchers score full/zero credit per pair."""
+    binary (bool) matchers score full/zero credit per pair. ``strategy``:
+    'sm' (default — each gold credited by its best surviving prediction,
+    carb.py:208-212) or 'ss' (--single_match, carb.py:242-269 — recall via
+    the same greedy 1-1 assignment precision uses, so one prediction can
+    credit at most one gold)."""
+    if strategy not in ("sm", "ss"):
+        raise ValueError(f"strategy must be 'sm' or 'ss', got {strategy!r}")
     scores = [[_as_pr(matcher(g, p)) for p in preds] for g in gold]
     out = np.zeros((len(thresholds), 4))
     for c, th in enumerate(thresholds):
@@ -412,8 +419,26 @@ def sentence_contributions(
         out[c, 1] = len(idx)
         if not idx or not gold:
             continue
-        # recall: each gold row matched by its best surviving prediction
-        out[c, 2] = sum(max(row[j][1] for j in idx) for row in scores)
+        if strategy == "sm":
+            # recall: each gold row matched by its best surviving prediction
+            out[c, 2] = sum(max(row[j][1] for j in idx) for row in scores)
+        else:
+            # 'ss': greedy global 1-1 assignment by best recall score
+            taken_gr: set[int] = set()
+            taken_pr: set[int] = set()
+            for _ in range(min(len(gold), len(idx))):
+                best, bi, bj = -1.0, -1, -1
+                for i in range(len(gold)):
+                    if i in taken_gr:
+                        continue
+                    for j in idx:
+                        if j in taken_pr:
+                            continue
+                        if scores[i][j][1] > best:
+                            best, bi, bj = scores[i][j][1], i, j
+                taken_gr.add(bi)
+                taken_pr.add(bj)
+                out[c, 2] += best
         # precision: greedy global 1-1 assignment by best precision score
         taken_g: set[int] = set()
         taken_p: set[int] = set()
@@ -448,13 +473,18 @@ def carb_pr(
     pred_df: DataFrame,
     key_cols: list[str] | None = None,
     matcher: str | None = None,
+    strategy: str = "sm",
 ) -> CarbResult:
     """Distributed CaRB compare. ``gold_df``/``pred_df`` need ``key_cols``
     (default [sent_key]) plus arg1/rel/arg2 (+ confidence, extra_args on
     either side, optional). ``matcher`` selects a MATCHERS variant by CLI
-    name (default binary_linient_tuple_match, the reference default)."""
+    name (default binary_linient_tuple_match, the reference default);
+    ``strategy`` is 'sm' or 'ss' (--single_match) — see
+    sentence_contributions."""
     key_cols = key_cols or ["sent_key"]
     match_fn = get_matcher(matcher)
+    if strategy not in ("sm", "ss"):
+        raise ValueError(f"strategy must be 'sm' or 'ss', got {strategy!r}")
     spark = gold_df.sparkSession
 
     if "confidence" not in pred_df.columns:
@@ -492,7 +522,8 @@ def carb_pr(
                 {"c": pd.Series(dtype="int64"), "pn": [], "pd_": [], "rn": [], "rd": []}
             )
         contrib = sentence_contributions(
-            gold, preds, b_thresholds.value, matcher=match_fn
+            gold, preds, b_thresholds.value, matcher=match_fn,
+            strategy=strategy,
         )
         return pd.DataFrame(
             {

@@ -190,3 +190,36 @@ class TestMatcherVariants:
         assert carb_pr(gold, pred, matcher="strict").zero_conf_f1 == 0.0
         # a binary matcher runs through the same path with 0/1 credit
         assert carb_pr(gold, pred, matcher="pred").zero_conf_f1 == 1.0
+
+
+class TestSingleMatchStrategy:
+    """--single_match ('ss'): recall via greedy 1-1 (carb.py:242-269)."""
+
+    def test_ss_caps_recall_at_one_gold_per_pred(self):
+        import numpy as np
+
+        gold = [Ext("founded", ["Ada", "Acme"]),
+                Ext("founded", ["Ada", "Acme Corp"])]
+        preds = [Ext("founded", ["Ada", "Acme"], 0.9)]
+        sm = sentence_contributions(gold, preds, [0.9], strategy="sm")
+        ss = sentence_contributions(gold, preds, [0.9], strategy="ss")
+        np.testing.assert_allclose(sm[0], [1.0, 1.0, 1.75, 2.0])
+        np.testing.assert_allclose(ss[0], [1.0, 1.0, 1.0, 2.0])
+
+    def test_strategy_validation_and_carb_pr(self, spark):
+        import pytest
+
+        from openie_with_entities_spark.evaluate import carb_pr
+
+        with pytest.raises(ValueError):
+            sentence_contributions([], [], [0.5], strategy="xx")
+        ddl = "sent_key string, arg1 string, rel string, arg2 string, confidence double"
+        gold = spark.createDataFrame(
+            [("s1", "Ada", "founded", "Acme", 1.0),
+             ("s1", "Ada", "founded", "Acme Corp", 1.0)], ddl)
+        pred = spark.createDataFrame(
+            [("s1", "Ada", "founded", "Acme", 0.9)], ddl)
+        with pytest.raises(ValueError):
+            carb_pr(gold, pred, strategy="nope")
+        assert carb_pr(gold, pred).zero_conf_recall == 0.875
+        assert carb_pr(gold, pred, strategy="ss").zero_conf_recall == 0.5
