@@ -458,6 +458,7 @@ _FIRST_WINDOW = [
     # round-4 new
     "e1_matcher_variants",
     "e2_carb_ss",
+    "kg_graph_edges",
     "conv_dedup_exact",
     "conv_neardup",
     "conv_pack",
@@ -508,7 +509,6 @@ _FIRST_WINDOW = [
     "q1_pricing_summary",
     "m4_oie_stage",
     "m3_conj_split",
-    "m2_decode_coords",
 ]
 
 

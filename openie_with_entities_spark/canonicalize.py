@@ -165,6 +165,41 @@ def build_entity_edges(linked_mentions: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def materialize_graph(linked_triples: DataFrame) -> DataFrame:
+    """Final KG edge materialization (the north rule's 'graph
+    materialize' stage): collapse the linked triple stream into ONE
+    weighted edge per (subject entity, normalized predicate, object
+    entity) — the deduplicated graph table a consumer queries, vs the
+    per-sentence evidence table the pipeline emits.
+
+    Predicate normalization reuses the P15 semantics
+    (operators/dedup.predicate_frequency — unicode \\w, reference
+    scripts/pubmed_analysis.py:22-31). Only fully-linked triples (both
+    entity ids resolved) become edges; the rest stay queryable in the
+    evidence table. Aggregates: mention count, distinct-conversation
+    count (corpus-level support), best-witness confidence. One
+    map-combinable aggregate; shuffle keys are (entity, predicate,
+    entity), never sentence text — at 10^12 turns the output is
+    entity-pair-bounded, orders of magnitude smaller than its input."""
+    norm = F.trim(F.lower(F.regexp_replace("rel", r"[^\p{L}\p{N}_\s]", "")))
+    return (
+        linked_triples.where(
+            F.col("arg1_entity_id").isNotNull()
+            & F.col("arg2_entity_id").isNotNull()
+        )
+        .groupBy(
+            F.col("arg1_entity_id").alias("src_entity"),
+            norm.alias("predicate"),
+            F.col("arg2_entity_id").alias("dst_entity"),
+        )
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.round(F.max("confidence"), 4).alias("max_confidence"),
+        )
+    )
+
+
 def canonicalize(
     triples: DataFrame, linked_mentions: DataFrame, max_iter: int = 25
 ) -> tuple[DataFrame, DataFrame]:

@@ -2073,6 +2073,62 @@ O_KNN = """
 
 
 # --------------------------------------------------------------------------
+# KG graph materialization (canonicalize.materialize_graph) — VALUES
+# fixture: predicate case/punct normalization folds rows, unlinked triples
+# are excluded, evidence counts + best-witness confidence aggregate
+# --------------------------------------------------------------------------
+
+_LINKED_FIXTURE = [
+    ("c0", 0, "E1", "founded", "E2", 0.9),
+    ("c0", 1, "E1", "Founded!", "E2", 0.7),  # same edge after P15 norm
+    ("c1", 0, "E1", "founded", "E2", 0.8),
+    ("c1", 1, "E3", "visited", "E4", 0.6),
+    ("c1", 2, "E3", "visited", None, 0.65),  # unlinked arg2 → excluded
+    ("c2", 0, None, "visited", "E4", 0.65),  # unlinked arg1 → excluded
+]
+_LINKED_DDL = (
+    "conv_id string, turn_idx int, arg1_entity_id string, rel string, "
+    "arg2_entity_id string, confidence double"
+)
+
+
+def q_kg_graph_edges(spark, sf_dir):
+    from openie_with_entities_spark.canonicalize import materialize_graph
+
+    return materialize_graph(
+        spark.createDataFrame(_LINKED_FIXTURE, _LINKED_DDL)
+    )
+
+
+def _linked_values() -> str:
+    def v(x):
+        if x is None:
+            return "NULL"
+        return f"'{x}'" if isinstance(x, str) else str(x)
+
+    return ", ".join(
+        "(" + ", ".join(v(c) for c in row) + ")" for row in _LINKED_FIXTURE
+    )
+
+
+def o_kg_graph_edges() -> str:
+    return f"""
+        WITH t(conv_id, turn_idx, arg1_entity_id, rel, arg2_entity_id,
+               confidence) AS (VALUES {_linked_values()})
+        SELECT arg1_entity_id AS src_entity,
+               trim(lower(regexp_replace(rel, '[^\\p{{L}}\\p{{N}}_\\s]', '',
+                                         'g'))) AS predicate,
+               arg2_entity_id AS dst_entity,
+               count(*) AS n_mentions,
+               count(DISTINCT conv_id) AS n_convs,
+               round(max(confidence), 4) AS max_confidence
+        FROM t
+        WHERE arg1_entity_id IS NOT NULL AND arg2_entity_id IS NOT NULL
+        GROUP BY 1, 2, 3
+    """
+
+
+# --------------------------------------------------------------------------
 # Heavy hitters + unigram log-prob (docops) — vocabulary-scale patterns
 # --------------------------------------------------------------------------
 
@@ -2444,6 +2500,7 @@ def extra_queries() -> dict:
         "emb_knn_graph": q_emb_knn_graph,
         "e1_matcher_variants": q_e1_matcher_variants,
         "e2_carb_ss": q_e2_carb_ss,
+        "kg_graph_edges": q_kg_graph_edges,
         "conv_dedup_exact": q_conv_dedup_exact,
         "conv_neardup": q_conv_neardup,
         "conv_pack": q_conv_pack,
@@ -2503,6 +2560,7 @@ def extra_oracles() -> dict:
         "emb_knn_graph": O_KNN,
         "e1_matcher_variants": O_E1V,
         "e2_carb_ss": O_E2_SS,
+        "kg_graph_edges": o_kg_graph_edges(),
         "conv_dedup_exact": O_CONV_DEDUP,
         "conv_neardup": O_CONV_NEARDUP,
         "conv_pack": O_CONV_PACK,

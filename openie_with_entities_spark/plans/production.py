@@ -36,6 +36,7 @@ from .metrics import FUSED_COUNTERS, StageCounters
 class ProductionResult:
     triples: DataFrame
     entity_nodes: DataFrame
+    graph_edges: DataFrame
     metrics: DataFrame
     buckets_processed: int
     buckets_skipped: int
@@ -121,6 +122,14 @@ def run_production(
             ),
         )
 
+    # graph materialization: the aggregated weighted edge table over the
+    # CANONICAL entity ids (one row per entity pair + predicate) — cheap
+    # re-derivation on resume, same policy as entity_nodes
+    from ..canonicalize import materialize_graph
+
+    graph_path = os.path.join(out_dir, "graph_edges")
+    materialize_graph(triples).write.mode("overwrite").parquet(graph_path)
+
     violations = violation_counters(triples, alias).withColumn(
         "stage", F.lit("link")
     )
@@ -139,6 +148,7 @@ def run_production(
     return ProductionResult(
         triples=triples,
         entity_nodes=spark.read.parquet(entity_path),
+        graph_edges=spark.read.parquet(graph_path),
         metrics=spark.read.parquet(metrics_path),
         buckets_processed=run.buckets_processed,
         buckets_skipped=run.buckets_skipped,

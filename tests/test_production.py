@@ -142,3 +142,35 @@ def test_resume_with_larger_bucket_count_fails_loudly(spark, tmp_path):
         CheckpointManager(spark, base, n_buckets=16).run_stage(
             "s", inp, lambda df: df
         )
+
+
+def test_graph_edges_materialized(spark, tmp_path):
+    """run_production writes the aggregated weighted edge table; its
+    mention totals reconcile with the fully-linked triple count, and
+    predicate normalization folds case/punctuation variants."""
+    from openie_with_entities_spark.canonicalize import materialize_graph
+    from openie_with_entities_spark.corpus import alias_dict, generate_transcripts
+    from openie_with_entities_spark.plans.production import run_production
+    from pyspark.sql import functions as F
+
+    t = generate_transcripts(spark, 20)
+    res = run_production(spark, t, alias_dict(spark), str(tmp_path), n_buckets=4)
+    edges = res.graph_edges
+    assert set(edges.columns) == {
+        "src_entity", "predicate", "dst_entity",
+        "n_mentions", "n_convs", "max_confidence",
+    }
+    linked = res.triples.where(
+        "arg1_entity_id IS NOT NULL AND arg2_entity_id IS NOT NULL"
+    )
+    assert edges.agg(F.sum("n_mentions")).collect()[0][0] == linked.count()
+    assert edges.count() <= linked.count()
+    # direct-unit check of the normalization fold
+    direct = materialize_graph(spark.createDataFrame(
+        [("c0", 0, "E1", "founded", "E2", 0.9),
+         ("c1", 0, "E1", "Founded!", "E2", 0.7)],
+        "conv_id string, turn_idx int, arg1_entity_id string, rel string, "
+        "arg2_entity_id string, confidence double",
+    )).collect()
+    assert len(direct) == 1
+    assert (direct[0].n_mentions, direct[0].n_convs, direct[0].max_confidence) == (2, 2, 0.9)
