@@ -87,6 +87,7 @@ def main() -> int:
     n = result.triples.count()
     print(
         f"triples={n} entity_nodes={result.entity_nodes.count()} "
+        f"graph_edges={result.graph_edges.count()} "
         f"buckets_processed={result.buckets_processed} "
         f"buckets_skipped={result.buckets_skipped} "
         f"wall={time.monotonic() - t0:.1f}s → {args.output}"
