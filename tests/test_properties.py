@@ -208,3 +208,60 @@ def test_snap_objects_equals_python_twin_fuzz(spark):
     for row in rows:
         i, rel, arg2 = row[2], row[6], row[7]
         assert got[i] == py_snap(rel, arg2), (arg2, got[i], py_snap(rel, arg2))
+
+
+phrase = st.lists(words, min_size=1, max_size=4).map(" ".join)
+
+
+@given(phrase, phrase, phrase, phrase, phrase, phrase)
+@settings(max_examples=200, deadline=None)
+def test_matcher_family_invariants(gr, ga1, ga2, pr, pa1, pa2):
+    """Fuzz the whole matcher family: tuple matchers stay in [0,1]²,
+    binary matchers return bool, self-match behaves per documented
+    semantics, and no variant crashes on arbitrary word content."""
+    from openie_with_entities_spark.evaluate import (
+        MATCHERS,
+        _as_pr,
+        simple_tuple_match,
+        tuple_match,
+    )
+
+    g, p = Ext(gr, [ga1, ga2]), Ext(pr, [pa1, pa2])
+    for name, fn in MATCHERS.items():
+        if name == "bertscore":
+            continue
+        out = fn(g, p)
+        pr_, rc_ = _as_pr(out)
+        assert 0.0 <= pr_ <= 1.0 and 0.0 <= rc_ <= 1.0, (name, out)
+    # self-match: linient-family and simple give full credit; strict gives
+    # full credit unless a part is stopword-empty... no — strict voids only
+    # on zero OVERLAP, impossible against itself for non-empty parts
+    assert simple_tuple_match(g, g) == [1.0, 1.0]
+    assert tuple_match(g, g) == [1.0, 1.0]
+
+
+@given(phrase, phrase, phrase)
+@settings(max_examples=100, deadline=None)
+def test_binary_symmetric_matchers(a, b, c):
+    from openie_with_entities_spark.evaluate import bow_match, pred_match
+
+    x, y = Ext(a, [b, c]), Ext(c, [a, b])
+    assert bow_match(x, y) == bow_match(y, x)
+    assert pred_match(x, y) == pred_match(y, x)
+
+
+@given(st.lists(phrase, min_size=1, max_size=3),
+       st.lists(phrase, min_size=1, max_size=3))
+@settings(max_examples=100, deadline=None)
+def test_ss_recall_never_exceeds_sm(golds, preds):
+    """'ss' (greedy 1-1) recall numerator is bounded by 'sm' (per-gold
+    max): a prediction can credit at most one gold under ss."""
+    from openie_with_entities_spark.evaluate import sentence_contributions
+
+    g = [Ext("rel " + x, [x, x + " tail"]) for x in golds]
+    p = [Ext("rel " + x, [x, x + " tail"], 0.5) for x in preds]
+    sm = sentence_contributions(g, p, [0.5], strategy="sm")
+    ss = sentence_contributions(g, p, [0.5], strategy="ss")
+    assert ss[0][2] <= sm[0][2] + 1e-9
+    # precision identical between strategies
+    assert ss[0][0] == sm[0][0] and ss[0][1] == sm[0][1]
