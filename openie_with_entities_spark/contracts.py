@@ -2211,7 +2211,9 @@ O_UNIGRAM_LP = """
     v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 65536),
     n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)
     SELECT tk.doc_id,
-           round(avg(log10(coalesce(v.cnt, 1) / n.n)), 4) AS mean_logprob,
+           round(sum(CAST(round(log10(coalesce(v.cnt, 1) / n.n) * 1000000)
+                          AS BIGINT)) / (count(*) * 1000000.0), 4)
+               AS mean_logprob,
            count(*) AS n_scored_tokens
     FROM tk LEFT JOIN v USING (token), n
     GROUP BY tk.doc_id

@@ -470,8 +470,14 @@ def unigram_logprob_score(
     map-combinable global count aggregate keeps the top-``vocab_size``
     tokens (ties broken by token so the vocabulary is deterministic), the
     scoring join broadcasts that bounded vocabulary; out-of-vocabulary
-    tokens take the standard floor log10(1/N) (count "1"). Scores rounded
-    to 4 decimals for cross-engine equality.
+    tokens take the standard floor log10(1/N) (count "1").
+
+    Determinism: a float mean of ~hundreds of log terms depends on the
+    partial-aggregation ORDER (last-ulp drift run to run — a 4dp rounding
+    boundary could flip between executions, let alone engines), so each
+    token's log-prob is fixed to 6 decimals as an INTEGER (µ-log units)
+    first; the int64 sum is exact and order-independent, and only the
+    final mean divides back to a rounded double.
 
     Shuffle story at 100 TB: one token-count aggregate (hash keys, partial
     aggregation) + one broadcast join keyed per token occurrence — the
@@ -488,18 +494,18 @@ def unigram_logprob_score(
     # vocabulary table, which a row_number window would force)
     vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
     n_total = counts.agg(F.sum("cnt").cast("double").alias("_n"))
+    lp_micro = F.round(
+        F.log10(F.coalesce(F.col("cnt"), F.lit(1)) / F.col("_n")) * 1e6
+    ).cast("long")
     scored = (
         toks_e.join(F.broadcast(vocab), "token", "left")
         .join(F.broadcast(n_total))
-        .select(
-            "doc_id",
-            F.log10(F.coalesce(F.col("cnt"), F.lit(1)) / F.col("_n")).alias(
-                "_lp"
-            ),
-        )
+        .select("doc_id", lp_micro.alias("_lp_u"))
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+        F.round(F.sum("_lp_u") / (F.count("*") * F.lit(1e6)), 4).alias(
+            "mean_logprob"
+        ),
         F.count("*").alias("n_scored_tokens"),
     )
 

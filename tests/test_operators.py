@@ -750,10 +750,11 @@ class TestUnigramLogprob:
         docs = spark.createDataFrame(
             [(0, "a a a a b", "s")], "doc_id long, text string, source string"
         )
-        # vocab_size=1 keeps only 'a' (4/5); 'b' takes the 1/N floor
+        # vocab_size=1 keeps only 'a' (4/5); 'b' takes the 1/N floor.
+        # expectation mirrors the µ-log integerization (order-exact sum)
         row = unigram_logprob_score(docs, vocab_size=1).collect()[0]
-        expected = (4 * math.log10(4 / 5) + math.log10(1 / 5)) / 5
-        assert abs(row.mean_logprob - round(expected, 4)) < 1e-9
+        micro = 4 * round(math.log10(4 / 5) * 1e6) + round(math.log10(1 / 5) * 1e6)
+        assert row.mean_logprob == round(micro / (5 * 1e6), 4)
 
 
 class TestMixtureSample:
