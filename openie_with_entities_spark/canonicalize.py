@@ -181,7 +181,9 @@ def materialize_graph(linked_triples: DataFrame) -> DataFrame:
     map-combinable aggregate; shuffle keys are (entity, predicate,
     entity), never sentence text — at 10^12 turns the output is
     entity-pair-bounded, orders of magnitude smaller than its input."""
-    norm = F.trim(F.lower(F.regexp_replace("rel", r"[^\p{L}\p{N}_\s]", "")))
+    from .operators.dedup import normalize_predicate
+
+    norm = normalize_predicate("rel")
     return (
         linked_triples.where(
             F.col("arg1_entity_id").isNotNull()

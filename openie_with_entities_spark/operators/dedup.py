@@ -112,16 +112,27 @@ def neardedup_triples(triples: DataFrame) -> DataFrame:
     return triples.groupBy(*SENT_KEY).applyInPandas(dedup_group, schema=schema)
 
 
-def predicate_frequency(triples: DataFrame) -> DataFrame:
-    """Normalized-predicate frequency ranking
+# \p{L}\p{N}_ ≈ the reference's PYTHON \w (unicode-aware); Java's bare \w
+# is ASCII-only and would strip accented predicate letters ('café' →
+# 'caf'), merging distinct predicates. DuckDB oracles spell the same
+# class with '[^\p{L}\p{N}_\s]' + the 'g' flag.
+PREDICATE_NORM_RE = r"[^\p{L}\p{N}_\s]"
+
+
+def normalize_predicate(col="rel"):
+    """P15 predicate normalization
     (/root/reference/scripts/pubmed_analysis.py:22-31): lowercase,
-    punctuation-stripped rel → count desc."""
-    # \p{L}\p{N}_ ≈ the reference's PYTHON \w (unicode-aware); Java's
-    # bare \w is ASCII-only and would strip accented predicate letters
-    # ('café' → 'caf'), merging distinct predicates
-    norm = F.trim(F.lower(F.regexp_replace("rel", r"[^\p{L}\p{N}_\s]", "")))
+    punctuation-stripped. SHARED by predicate_frequency and
+    canonicalize.materialize_graph so graph-edge predicates can never
+    drift from the P15 stats."""
+    return F.trim(F.lower(F.regexp_replace(col, PREDICATE_NORM_RE, "")))
+
+
+def predicate_frequency(triples: DataFrame) -> DataFrame:
+    """Normalized-predicate frequency ranking: rel → count desc (see
+    normalize_predicate)."""
     return (
-        triples.groupBy(norm.alias("predicate"))
+        triples.groupBy(normalize_predicate().alias("predicate"))
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "predicate")
     )

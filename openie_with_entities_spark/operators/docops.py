@@ -207,6 +207,12 @@ def mixture_sample(
     w_rows = [(s, float(w)) for s, w in sorted(weights.items())]
     if not w_rows:
         raise ValueError("weights must be a non-empty {source: weight} map")
+    bad = {s: w for s, w in w_rows if not w > 0}
+    if bad:
+        # a negative weight makes T (and every rate) negative; the hex
+        # threshold of a negative long lpad-TRUNCATES to 'ffffffff', which
+        # silently keeps ~every document — fail loudly instead
+        raise ValueError(f"weights must be > 0; got {bad}")
     wdf = spark.createDataFrame(w_rows, "source string, w double")
     n = F.size(F.filter(tokenize(F.col("text")), lambda t: t != ""))
     per_src = (

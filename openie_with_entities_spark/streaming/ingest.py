@@ -245,12 +245,24 @@ def reconcile_stream_dedup(
     if data is None:
         return ReconcileResult(None, 0, 0, 0)
     lineage = _read(lineage_path)
-    done = (
-        {r.epoch for r in lineage.select("epoch").distinct().collect()}
+    # completed epochs join as a (tiny, broadcast) table, never as an
+    # isin literal — a long-lived stream accumulates unbounded epochs and
+    # a literal IN-list would grow the plan linearly with stream lifetime
+    done_epochs = (
+        lineage.select("epoch").distinct().persist()
         if lineage is not None
+        else None
+    )
+    done = (
+        {r.epoch for r in done_epochs.collect()}
+        if done_epochs is not None
         else set()
     )
-    new = data.where(~F.col("epoch").isin(sorted(done))) if done else data
+    new = (
+        data.join(F.broadcast(done_epochs), "epoch", "left_anti")
+        if done
+        else data
+    )
     new = new.persist()
     per_epoch_in = {
         r["epoch"]: r["count"]
@@ -258,6 +270,8 @@ def reconcile_stream_dedup(
     }
     if not per_epoch_in:
         new.unpersist()
+        if done_epochs is not None:
+            done_epochs.unpersist()
         survivors = _read(os.path.join(rec, "data"))
         return ReconcileResult(survivors, 0, 0, 0)
     rows_in = sum(per_epoch_in.values())
@@ -269,11 +283,11 @@ def reconcile_stream_dedup(
         .drop("_rn")
     )
     keepers = _read(keepers_path)
-    if keepers is not None:
+    if keepers is not None and done:
         # only lineage-COMPLETE epochs' keepers count (see docstring); no
         # dedup needed before a left_anti — membership ignores multiplicity
-        seen = keepers.where(
-            F.col("epoch").isin(sorted(done)) if done else F.lit(False)
+        seen = keepers.join(
+            F.broadcast(done_epochs), "epoch", "left_semi"
         ).select(key)
         candidates = candidates.join(seen, key, "left_anti")
     survivors_new = candidates.persist()
@@ -298,6 +312,8 @@ def reconcile_stream_dedup(
     ).write.mode("append").parquet(lineage_path)
     new.unpersist()
     survivors_new.unpersist()
+    if done_epochs is not None:
+        done_epochs.unpersist()
     spark.catalog.refreshByPath(os.path.join(rec, "data"))
     return ReconcileResult(
         survivors=spark.read.parquet(os.path.join(rec, "data")),

@@ -798,3 +798,16 @@ class TestMixtureSample:
         assert not any(
             r.source == "c" for r in mixture_sample(docs, w).collect()
         )
+
+
+def test_mixture_rejects_nonpositive_weights(spark):
+    from openie_with_entities_spark.operators.docops import mixture_sample
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_sample(docs, {"s": -1.0})
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_sample(docs, {"s": 0.0})
