@@ -34,7 +34,14 @@ def conv_text(transcripts: DataFrame, with_roles: bool = True) -> DataFrame:
     """One row per conversation: turn texts joined in turn_idx order.
     ``with_roles`` frames each turn as role<TAB>text (the dedup-canonical
     form); without, it is the plain space-joined surface text (the
-    shingling form). Single conv_id shuffle, map-side combinable collect."""
+    shingling form). Single conv_id shuffle, map-side combinable collect.
+
+    Skew note: the collected row is bounded by conversation LENGTH, not
+    corpus size — real transcript tables bound it upstream (and
+    conv_quality's max_turn_tokens/n_turns gates enforce it here); a feed
+    that can contain degenerate million-turn conversations should cap with
+    ``F.slice`` after the sort or pre-filter on a turn-count aggregate
+    before calling any conv-level operator."""
     ordered = F.array_sort(
         F.collect_list(F.struct("turn_idx", "role", "text"))
     )
