@@ -170,3 +170,24 @@ class TestPrepareConversations:
         assert any("<PHONE>" in r.text_clean for r in by_conv["u"])
         # turn granularity preserved
         assert sorted(r.turn_idx for r in by_conv["a1"]) == [0, 1]
+
+
+def test_conv_ops_partitioning_invariant(spark, convs):
+    """Conversation-level outputs must be identical under any input
+    partitioning — the same determinism bar the kg checksum holds. Windows
+    order on unique keys and aggregates sort before hashing, so a 7-way
+    repartition must change nothing."""
+    from openie_with_entities_spark.operators.convops import (
+        conv_dedup_exact,
+        conv_quality,
+        pack_conversations,
+        prepare_conversations,
+    )
+
+    shuffled = convs.repartition(7)
+    for op in (conv_dedup_exact, conv_quality,
+               lambda t: pack_conversations(t, n_shards=4),
+               prepare_conversations):
+        a = sorted(map(tuple, op(convs).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        assert a == b, op
