@@ -217,9 +217,10 @@ def main() -> None:
             # N→4N measurement lives in the pinned `--scaling` mode; the
             # most recent run is recorded in BASELINE.md §Round-3
             "scaling_evidence": (
-                "cores: r4 --scaling local[2]=15574/[8]=51080/[32]=88984, "
-                "2→8 eff 0.82 (r3 best 98101, eff 1.111); data: 10× decade "
-                "ratios ≤7.8, kg 185k turns/s at 6.24M turns (BASELINE.md)"
+                "cores: r4 best-clean run local[2]=15574/[8]=51080/[32]=88984 "
+                "(2→8 eff 0.82); 32-core best 100627 (r4 run5; r3: 98101, "
+                "eff 1.111); data: 10× decade ratios ≤7.8, kg 185k turns/s "
+                "at 6.24M turns (BASELINE.md)"
             ),
         }
     _emit(payload)
