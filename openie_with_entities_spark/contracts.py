@@ -1342,11 +1342,13 @@ def q_p15_predicate_norm(spark, sf_dir):
 def o_p15() -> str:
     from __spark_entry__ import _triples_values
 
+    from openie_with_entities_spark.operators.dedup import PREDICATE_NORM_RE
+
     return f"""
         WITH t(conv_id, turn_idx, sent_idx, split_idx, ext_idx,
                arg1, rel, arg2, confidence) AS (VALUES {_triples_values()},
                ('c9', 0, 0, 0, 0, 'X', 'Joined!', 'Y', 0.5))
-        SELECT trim(regexp_replace(lower(rel), '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')) AS predicate,
+        SELECT trim(regexp_replace(lower(rel), '{PREDICATE_NORM_RE}', '', 'g')) AS predicate,
                count(*) AS cnt
         FROM t GROUP BY 1
     """
@@ -2112,11 +2114,17 @@ def _linked_values() -> str:
 
 
 def o_kg_graph_edges() -> str:
+    # the char class is interpolated from the SAME constant the Spark
+    # operator uses (dedup.PREDICATE_NORM_RE) so engine and oracle cannot
+    # drift — the raw-string backslashes pass through a DuckDB quoted
+    # literal verbatim (same pattern as o_docs_pii_scrub / o_p15)
+    from openie_with_entities_spark.operators.dedup import PREDICATE_NORM_RE
+
     return f"""
         WITH t(conv_id, turn_idx, arg1_entity_id, rel, arg2_entity_id,
                confidence) AS (VALUES {_linked_values()})
         SELECT arg1_entity_id AS src_entity,
-               trim(lower(regexp_replace(rel, '[^\\p{{L}}\\p{{N}}_\\s]', '',
+               trim(lower(regexp_replace(rel, '{PREDICATE_NORM_RE}', '',
                                          'g'))) AS predicate,
                arg2_entity_id AS dst_entity,
                count(*) AS n_mentions,
@@ -2126,6 +2134,155 @@ def o_kg_graph_edges() -> str:
         WHERE arg1_entity_id IS NOT NULL AND arg2_entity_id IS NOT NULL
         GROUP BY 1, 2, 3
     """
+
+
+# --------------------------------------------------------------------------
+# CaRB alternate extraction-format readers (sources/readers.py) — fixture
+# scans; oracles are VALUES rows hand-derived from the reference readers'
+# parse semantics (/root/reference/carb/oie_readers/*.py). extra_args is an
+# array → it travels as a '|'-joined scalar for the driver's canonicalizer.
+# --------------------------------------------------------------------------
+
+_READER_FIXTURES = os.path.join(FIXTURE_DIR, "readers")
+
+
+def _reader_projection(df):
+    return df.select(
+        "sentence", "arg1", "rel", "arg2",
+        F.array_join("extra_args", "|").alias("extra_str"),
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+def q_reader_ollie(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_ollie
+
+    return _reader_projection(
+        read_ollie(spark, os.path.join(_READER_FIXTURES, "ollie.tsv"))
+    )
+
+
+O_READER_OLLIE = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.93),
+        ('Ada founded Acme Corp .', 'Ada', 'moved to', 'Paris', '', 0.71),
+        ('the cat sat on the mat', 'the cat', 'sat on', 'the mat', '', 0.88)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_openie4(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_openie4
+
+    return _reader_projection(
+        read_openie4(spark, os.path.join(_READER_FIXTURES, "openie4.txt"))
+    )
+
+
+# the fixture's middle line has an empty arg2 field → skipped, exactly as
+# openieFourReader.py:33-35 skips lines failing all(data[2:5])
+O_READER_OPENIE4 = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.95),
+        ('the cat sat on the mat', 'the cat', 'sat on', 'the mat', '', 0.82)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_openie5(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_openie5
+
+    return _reader_projection(
+        read_openie5(spark, os.path.join(_READER_FIXTURES, "openie5.txt"))
+    )
+
+
+# row 1: multi-arg ');'-packed args field → arg2 + extra; row 2: Context
+# prefix folded into arg1 (openieFiveReader.py:26-33); row 3 skipped
+# (empty args field)
+O_READER_OPENIE5 = """
+    SELECT * FROM (VALUES
+        ('Bob handed the keys to Eve .', 'Bob', 'handed', 'the keys',
+         'to Eve', 0.91),
+        ('In 2020 Ada left Acme .', 'In 2020 Ada', 'left', 'Acme', '', 0.64)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_props(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_props
+
+    return _reader_projection(
+        read_props(spark, os.path.join(_READER_FIXTURES, "props.txt"))
+    )
+
+
+O_READER_PROPS = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.77),
+        ('Bob handed the keys to Eve .', 'Bob', 'handed', 'the keys',
+         'to Eve', 0.55)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_reverb(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import (
+        numbered_lines,
+        read_reverb,
+    )
+
+    return _reader_projection(
+        read_reverb(
+            spark,
+            os.path.join(_READER_FIXTURES, "reverb.txt"),
+            numbered_lines(
+                spark,
+                os.path.join(_READER_FIXTURES, "reverb_raw_sentences.txt"),
+            ),
+        )
+    )
+
+
+O_READER_REVERB = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.89),
+        ('the cat sat on the mat', 'the cat', 'sat on', 'the mat', '', 0.67)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_stanford(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_stanford
+
+    return _reader_projection(
+        read_stanford(spark, os.path.join(_READER_FIXTURES, "stanford.txt"))
+    )
+
+
+O_READER_STANFORD = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.96),
+        ('the cat sat on the mat', 'the cat', 'sat on', 'the mat', '', 0.58)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_tab(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_tabbed
+
+    return _reader_projection(
+        read_tabbed(spark, os.path.join(_READER_FIXTURES, "tab.txt"))
+    )
+
+
+O_READER_TAB = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.93),
+        ('Bob handed the keys to Eve .', 'Bob', 'handed', 'the keys',
+         'to Eve', 0.71)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2295,8 +2452,10 @@ O_CONV_DEDUP = f"""
     WITH {_CONV2_CTE},
     canon AS (
         SELECT conv_id,
-               md5(string_agg(role || chr(9) || text, chr(10)
-                              ORDER BY turn_idx)) AS conv_hash,
+               -- injective per-turn frame: md5(role)||md5(text), mirrors
+               -- convops._turn_digest (tab/newline-safe for arbitrary text)
+               md5(string_agg(md5(coalesce(role, '')) || md5(coalesce(text, '')),
+                              '' ORDER BY turn_idx)) AS conv_hash,
                count(*) AS n_turns
         FROM tr GROUP BY conv_id)
     SELECT conv_hash, min(conv_id) AS keeper_conv_id,
@@ -2394,8 +2553,9 @@ def o_conv_prepare() -> str:
             FROM tr),
         agg AS (
             SELECT conv_id,
-                   md5(string_agg(role || chr(9) || text, chr(10)
-                                  ORDER BY turn_idx)) AS conv_hash,
+                   md5(string_agg(md5(coalesce(role, ''))
+                                  || md5(coalesce(text, '')),
+                                  '' ORDER BY turn_idx)) AS conv_hash,
                    count(*) AS n_turns,
                    sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
                    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
@@ -2512,6 +2672,13 @@ def extra_queries() -> dict:
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "s10_salted_resume": q_s10_salted_resume,
+        "reader_ollie": q_reader_ollie,
+        "reader_openie4": q_reader_openie4,
+        "reader_openie5": q_reader_openie5,
+        "reader_props": q_reader_props,
+        "reader_reverb": q_reader_reverb,
+        "reader_stanford": q_reader_stanford,
+        "reader_tab": q_reader_tab,
     }
 
 
@@ -2571,6 +2738,13 @@ def extra_oracles() -> dict:
         "docs_heavy_hitters": O_HEAVY_HITTERS,
         "docs_mixture_sample": o_docs_mixture_sample(),
         "docs_unigram_logprob": O_UNIGRAM_LP,
+        "reader_ollie": O_READER_OLLIE,
+        "reader_openie4": O_READER_OPENIE4,
+        "reader_openie5": O_READER_OPENIE5,
+        "reader_props": O_READER_PROPS,
+        "reader_reverb": O_READER_REVERB,
+        "reader_stanford": O_READER_STANFORD,
+        "reader_tab": O_READER_TAB,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

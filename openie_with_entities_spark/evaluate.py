@@ -491,6 +491,15 @@ def carb_pr(
         # the docstring's "confidence … optional" contract: default 1.0,
         # matching fold()'s per-row fallback
         pred_df = pred_df.withColumn("confidence", F.lit(1.0))
+    # Quantize confidences to 4 dp BEFORE the distinct: the threshold list
+    # (and the O(#thresholds) per-sentence contribution array) is collected
+    # to the driver, so on a corpus with near-unique float confidences it
+    # must stay bounded (≤ 20001 cutoffs) rather than grow with the data.
+    # The reference emits confidences at 2 dp (data.py:571-584 '%.02f'), so
+    # 4 dp is exact for reference-shaped inputs; survivor sets at each
+    # cutoff are computed against the same quantized values, keeping the
+    # curve self-consistent.
+    pred_df = pred_df.withColumn("confidence", F.round("confidence", 4))
     thresholds = sorted(
         r[0]
         for r in pred_df.select("confidence").distinct().collect()

@@ -162,19 +162,30 @@ def link_triples_inline(triples_with_surfaces: DataFrame, alias: DataFrame) -> D
         )
     dict_map = F.create_map(*entries)
 
-    e1 = F.try_element_at(dict_map, F.col("arg1_surface"))
-    e2 = F.try_element_at(dict_map, F.col("arg2_surface"))
+    # Both lookups run inside ONE higher-order transform projected as a
+    # single column, so the (constant-folded) map literal appears exactly
+    # once in the optimized plan. Four direct try_element_at references
+    # would plant four copies of the full dictionary (CollapseProject
+    # inlines the folded literal); the non-foldable transform is not
+    # inlined, so the downstream field extractions reference the projected
+    # array instead of re-materializing the map. Verified by counting
+    # dictionary-key occurrences in the optimizedPlan string.
+    both = F.transform(
+        F.array("arg1_surface", "arg2_surface"),
+        lambda s: F.try_element_at(dict_map, s),
+    )
     keep = [
         c
         for c in triples_with_surfaces.columns
         if c not in ("arg1_surface", "arg2_surface")
     ]
-    return triples_with_surfaces.select(
+    staged = triples_with_surfaces.withColumn("_ents", both)
+    return staged.select(
         *keep,
-        e1["entity_id"].alias("arg1_entity_id"),
-        e1["ner_type"].alias("arg1_ner_type"),
-        e2["entity_id"].alias("arg2_entity_id"),
-        e2["ner_type"].alias("arg2_ner_type"),
+        F.col("_ents")[0]["entity_id"].alias("arg1_entity_id"),
+        F.col("_ents")[0]["ner_type"].alias("arg1_ner_type"),
+        F.col("_ents")[1]["entity_id"].alias("arg2_entity_id"),
+        F.col("_ents")[1]["ner_type"].alias("arg2_ner_type"),
     )
 
 

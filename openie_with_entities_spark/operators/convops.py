@@ -13,8 +13,8 @@ conv_id shuffle — the same partitioning the extraction pipeline
 for free.
 
 Cross-engine determinism: conversation digests are md5 over a
-turn-idx-ordered, tab/newline-framed canonical string (DuckDB reproduces it
-with string_agg ... ORDER BY); token counts are whitespace counts; floats
+turn-idx-ordered canonical string (DuckDB reproduces it with
+string_agg ... ORDER BY); token counts are whitespace counts; floats
 are rounded before any ranking.
 """
 
@@ -23,18 +23,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# canonical string framing: role TAB text, turns joined by newline. TAB and
-# newline cannot appear inside a single-line turn text, so the framing is
-# injective (no concat collisions between ("ab","c") and ("a","bc")).
-_TURN_SEP = "\n"
-_FIELD_SEP = "\t"
+# Canonical per-turn framing: md5(role) || md5(text), turns concatenated in
+# turn_idx order. Fixed-width digests make the encoding injective for
+# ARBITRARY turn text — including text containing tabs and newlines, which
+# LLM transcript turns routinely do. (A delimiter framing like
+# role<TAB>text<NL> collides: one turn 'hi\nassistant\tok' vs two turns
+# ('user','hi'),('assistant','ok') canonicalize identically and exact-dedup
+# would silently drop a non-duplicate conversation.)
+
+
+def _turn_digest(t):
+    """md5(role)||md5(text) for one collected turn struct — the injective
+    canonical frame shared by conv_dedup_exact and prepare_conversations
+    (and mirrored verbatim in the DuckDB oracles)."""
+    return F.concat(
+        F.md5(F.coalesce(t["role"], F.lit(""))),
+        F.md5(F.coalesce(t["text"], F.lit(""))),
+    )
 
 
 def conv_text(transcripts: DataFrame, with_roles: bool = True) -> DataFrame:
     """One row per conversation: turn texts joined in turn_idx order.
-    ``with_roles`` frames each turn as role<TAB>text (the dedup-canonical
-    form); without, it is the plain space-joined surface text (the
-    shingling form). Single conv_id shuffle, map-side combinable collect.
+    ``with_roles`` frames each turn as md5(role)||md5(text) (the
+    dedup-canonical form, injective for arbitrary turn text); without, it
+    is the plain space-joined surface text (the shingling form). Single
+    conv_id shuffle, map-side combinable collect.
 
     Skew note: the collected row is bounded by conversation LENGTH, not
     corpus size — real transcript tables bound it upstream (and
@@ -45,17 +58,12 @@ def conv_text(transcripts: DataFrame, with_roles: bool = True) -> DataFrame:
     ordered = F.array_sort(
         F.collect_list(F.struct("turn_idx", "role", "text"))
     )
-    sep = _TURN_SEP if with_roles else " "
     body = F.array_join(
         F.transform(
             ordered,
-            lambda t: (
-                F.concat_ws(_FIELD_SEP, t["role"], t["text"])
-                if with_roles
-                else t["text"]
-            ),
+            lambda t: _turn_digest(t) if with_roles else t["text"],
         ),
-        sep,
+        "" if with_roles else " ",
     )
     return transcripts.groupBy("conv_id").agg(
         body.alias("text"), F.count("*").alias("n_turns")
@@ -165,15 +173,7 @@ def prepare_conversations(
     ordered = F.array_sort(
         F.collect_list(F.struct("turn_idx", "role", "text"))
     )
-    canon = F.md5(
-        F.array_join(
-            F.transform(
-                ordered,
-                lambda t: F.concat_ws(_FIELD_SEP, t["role"], t["text"]),
-            ),
-            _TURN_SEP,
-        )
-    )
+    canon = F.md5(F.array_join(F.transform(ordered, _turn_digest), ""))
     agg = transcripts.groupBy("conv_id").agg(
         canon.alias("conv_hash"),
         F.count("*").alias("n_turns"),

@@ -263,11 +263,35 @@ def reconcile_stream_dedup(
         if done
         else data
     )
+    # Fail fast on a missing or null dedup key: epochs written before the
+    # producer emitted `key` (or by a producer lacking it) read back as
+    # null, and the keeper window would silently collapse ALL null-key rows
+    # into one "duplicate" group, dropping every doc but one. A null key is
+    # a producer contract violation, not a duplicate.
+    if key not in new.columns:
+        if done_epochs is not None:
+            done_epochs.unpersist()
+        raise ValueError(
+            f"reconcile_stream_dedup: dedup key column {key!r} is absent "
+            f"from the streamed epochs under {data_path} — refusing to "
+            "reconcile (a null/absent key is not a duplicate)"
+        )
     new = new.persist()
-    per_epoch_in = {
-        r["epoch"]: r["count"]
-        for r in new.groupBy("epoch").count().collect()
-    }
+    per_epoch_rows = new.groupBy("epoch").agg(
+        F.count("*").alias("count"),
+        F.sum(F.col(key).isNull().cast("long")).alias("n_null_key"),
+    ).collect()
+    null_epochs = sorted(r["epoch"] for r in per_epoch_rows if r["n_null_key"])
+    if null_epochs:
+        new.unpersist()
+        if done_epochs is not None:
+            done_epochs.unpersist()
+        raise ValueError(
+            f"reconcile_stream_dedup: {key!r} is null in epoch(s) "
+            f"{null_epochs} under {data_path} — refusing to dedup null "
+            "keys against each other"
+        )
+    per_epoch_in = {r["epoch"]: r["count"] for r in per_epoch_rows}
     if not per_epoch_in:
         new.unpersist()
         if done_epochs is not None:

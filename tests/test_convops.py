@@ -51,7 +51,16 @@ class TestConvText:
         assert row.text == "one two three"
         assert row.n_turns == 3
         framed = conv_text(t, with_roles=True).collect()[0]
-        assert framed.text == "user\tone\nassistant\ttwo\nuser\tthree"
+        # canonical frame: md5(role)||md5(text) per turn, turn_idx order
+        import hashlib
+
+        def h(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        assert framed.text == "".join(
+            h(r) + h(x)
+            for r, x in [("user", "one"), ("assistant", "two"), ("user", "three")]
+        )
 
 
 class TestConvDedup:
@@ -68,6 +77,22 @@ class TestConvDedup:
         # ("ab","c") vs ("a","bc") must not collide in the canonical string
         t = _tr(spark, [("x", 0, "user", "ab"), ("x", 1, "user", "c"),
                         ("y", 0, "user", "a"), ("y", 1, "user", "bc")])
+        assert conv_dedup_exact(t).count() == 2
+
+    def test_framing_injective_for_multiline_turn_text(self, spark):
+        # LLM transcript turns routinely contain tabs and newlines: one
+        # turn whose text embeds 'assistant\tok' after a newline must NOT
+        # collide with the two-turn conversation it imitates under a
+        # delimiter framing (the md5-per-turn frame is width-fixed, so no
+        # concat collision is possible for ANY text)
+        t = _tr(
+            spark,
+            [
+                ("one_turn", 0, "user", "hi\nassistant\tok"),
+                ("two_turns", 0, "user", "hi"),
+                ("two_turns", 1, "assistant", "ok"),
+            ],
+        )
         assert conv_dedup_exact(t).count() == 2
 
 

@@ -93,8 +93,35 @@ def test_carb_pr_empty_gold_and_missing_confidence(spark):
     assert r2.zero_conf_f1 == 1.0
 
 
-class TestMatcherVariants:
-    """Mirror /root/reference/carb/matcher.py semantics per variant."""
+def test_carb_pr_threshold_list_bounded_on_unique_confidences(spark):
+    """The threshold list (collected to the driver) must stay bounded on a
+    corpus with near-unique float confidences: 10⁵ distinct 8-dp values
+    quantize to ≤ 10001 4-dp cutoffs. Reference-shaped inputs (2-dp
+    confidences, data.py:571-584) are unaffected by the quantization."""
+    from openie_with_entities_spark.evaluate import carb_pr
+
+    ddl = "sent_key string, arg1 string, rel string, arg2 string"
+    gold = spark.createDataFrame(
+        [("g0", "ada", "founded", "acme")], ddl
+    )
+    # 100k predictions with distinct high-precision confidences on
+    # non-gold sentences (ignored by scoring, but they all feed the
+    # threshold distinct) + a handful on the gold sentence
+    from pyspark.sql import functions as F
+
+    big = spark.range(100_000).select(
+        F.lit("junk_sentence").alias("sent_key"),
+        F.lit("a").alias("arg1"),
+        F.lit("r").alias("rel"),
+        F.lit("b").alias("arg2"),
+        (F.col("id") / 100_000.0 * 0.99999999 + 0.3e-8).alias("confidence"),
+    )
+    on_gold = spark.createDataFrame(
+        [("g0", "ada", "founded", "acme")], ddl
+    ).withColumn("confidence", F.lit(0.87654321))
+    r = carb_pr(gold, big.unionByName(on_gold))
+    assert 0 < len(r.curve) <= 10_001
+    assert r.zero_conf_recall == 1.0  # the gold sentence is fully matched
 
     def test_strict_no_be_credit_and_no_dot_drop(self):
         from openie_with_entities_spark.evaluate import tuple_match

@@ -454,6 +454,43 @@ def test_reconcile_stream_dedup_cross_epoch(spark, tmpdir):
     assert {x.doc_id for x in r3.survivors.collect()} == {0, 1, 3, 5}
 
 
+def test_reconcile_refuses_null_or_missing_key(spark, tmpdir):
+    """A null (or absent) content_hash is a producer contract violation,
+    not a duplicate: epochs written before the producer emitted the key
+    would otherwise all collapse into one null-key 'duplicate' group and
+    silently drop every doc but one."""
+    from openie_with_entities_spark.streaming.ingest import (
+        reconcile_stream_dedup,
+        write_epoch,
+    )
+
+    ddl = "doc_id long, content_hash string, text_clean string"
+
+    out = os.path.join(tmpdir, "null_key")
+    write_epoch(
+        spark,
+        spark.createDataFrame(
+            [(0, None, "alpha"), (1, None, "beta"), (2, "hC", "gamma")], ddl
+        ),
+        0,
+        out,
+    )
+    with pytest.raises(ValueError, match="null in epoch"):
+        reconcile_stream_dedup(spark, out)
+
+    out2 = os.path.join(tmpdir, "absent_key")
+    write_epoch(
+        spark,
+        spark.createDataFrame(
+            [(0, "alpha"), (1, "beta")], "doc_id long, text_clean string"
+        ),
+        0,
+        out2,
+    )
+    with pytest.raises(ValueError, match="absent"):
+        reconcile_stream_dedup(spark, out2)
+
+
 def test_streaming_then_reconcile_end_to_end(spark, tmpdir):
     """Full path: stream run 1 → more files arrive → stream run 2 (same
     checkpoint, duplicate content with event time far beyond the
