@@ -450,12 +450,30 @@ def _media_features(spark, sf_dir):
 
 # The driver's CORRECTNESS artifact records the FIRST 50 entries of
 # queries() in iteration order. Operators added or changed in the current /
-# previous round are therefore ordered first so every one of them gets a
-# driver-witnessed green row; long-stable entries (hash-green since round 1)
-# rotate to the back. The full set is still checked every round by
+# previous round are ordered first so every one of them gets a
+# driver-witnessed green row; then a deterministic ROTATING slice of
+# long-stable entries (so every contract periodically re-enters the
+# independently-witnessed sample — round-4 advisor item), then prior-round
+# and heavier operators. The full set is still checked every round by
 # scripts/check_contracts.py (committed evidence).
+_ROUND = 5  # bump when a new round starts; drives the sentinel rotation
+
 _FIRST_WINDOW = [
-    # round-4 new
+    # round-5 new
+    "reader_ollie",
+    "reader_openie4",
+    "reader_openie5",
+    "reader_props",
+    "reader_reverb",
+    "reader_stanford",
+    "reader_tab",
+    "reader_wire57",
+    "wire57_scores",
+    "kg_khop",
+    "kg_degree_topk",
+    "stream_clean_drain",
+    # ← 6 rotating stable sentinels are spliced in here by queries()
+    # round-4 new / changed
     "e1_matcher_variants",
     "e2_carb_ss",
     "kg_graph_edges",
@@ -468,33 +486,9 @@ _FIRST_WINDOW = [
     "docs_mixture_sample",
     "docs_unigram_logprob",
     "s10_salted_resume",
-    # round-4 changed (advisor fixes touched these code paths)
     "docs_tfidf_topk",
     "docs_ngram_jaccard",
     "s10_checkpoint_resume",
-    # round-3 additions never yet inside the driver window
-    "docs_train_split",
-    "docs_pack_sequences",
-    "docs_repetition_stats",
-    "docs_pii_scrub",
-    "docs_contamination",
-    "docs_neardup_clusters",
-    "docs_prepare_corpus",
-    "emb_knn_graph",
-    "s8_labels_sink",
-    "e5_conj_from_labels",
-    "kg_triples_checksum",
-    "docs_simhash_checksum",
-    "p15_predicate_norm",
-    "e5_conj_eval",
-    "emb_cosine_neardup",
-    "media_frame_sample",
-    "docs_winnowing",
-    "emb_ivf_topk",
-    "a12_length_buckets",
-    "e1_tuple_match",
-    "e2_carb_pr",
-    "e6_f1_auc",
     # heavier / higher-risk operators kept under the driver's eye
     "docs_minhash_lsh",
     "docs_simhash",
@@ -509,7 +503,27 @@ _FIRST_WINDOW = [
     "q1_pricing_summary",
     "m4_oie_stage",
     "m3_conj_split",
+    # recorded-value checksums (recorded at sf0.01, cheap, high signal)
+    "kg_triples_checksum",
+    "docs_simhash_checksum",
+    "e2_carb_pr",
+    "e5_conj_eval",
 ]
+
+_N_NEW_R5 = 12  # sentinels splice in after the round-5 block
+_N_SENTINELS = 6
+
+
+def _rotating_sentinels(registered: list[str]) -> list[str]:
+    """Deterministic per-round slice of the stable pool (everything
+    registered but not already ordered first), so each stable contract
+    re-enters the driver-witnessed 50-entry sample every
+    ceil(len(pool)/6) rounds."""
+    pool = sorted(n for n in registered if n not in _FIRST_WINDOW)
+    if not pool:
+        return []
+    start = (_ROUND * _N_SENTINELS) % len(pool)
+    return [pool[(start + i) % len(pool)] for i in range(min(_N_SENTINELS, len(pool)))]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -554,7 +568,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     missing = [n for n in _FIRST_WINDOW if n not in base]
     if missing:  # fail loudly: a typo here silently shrinks the window
         raise KeyError(f"_FIRST_WINDOW names not registered: {missing}")
-    ordered = {name: base.pop(name) for name in _FIRST_WINDOW}
+    window = (
+        _FIRST_WINDOW[:_N_NEW_R5]
+        + _rotating_sentinels(list(base))
+        + _FIRST_WINDOW[_N_NEW_R5:]
+    )
+    ordered = {name: base.pop(name) for name in window}
     ordered.update(base)
     return ordered
 

@@ -2617,6 +2617,232 @@ O_CONV_QUALITY = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Wire57 evaluation (evaluate_wire57.py) — reader scan + corpus scores over
+# checked-in fixtures; the scores oracle is hand-derived from the
+# reference's greedy word-overlap semantics
+# (/root/reference/carb/wire57_evaluation.py) and independently re-derived
+# in tests/test_evaluate.py before being recorded here.
+# --------------------------------------------------------------------------
+
+_WIRE57_DIR = os.path.join(FIXTURE_DIR, "wire57")
+
+
+def q_reader_wire57(spark, sf_dir):
+    from openie_with_entities_spark.evaluate_wire57 import read_wire57_tab
+
+    return read_wire57_tab(
+        spark, os.path.join(_WIRE57_DIR, "system.txt")
+    )
+
+
+# line 5 of the fixture has <4 tab fields → skipped
+# (wire57_evaluation.py:51-54); line 1/3/4 are 5-field (confidence at
+# items[1], unused), line 2 is 4-field.
+O_READER_WIRE57 = """
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'The cat sat on the mat .', 'sat on', 'The cat', 'the mat'),
+        (CAST(2 AS BIGINT), 'The cat sat on the mat .', 'on', 'cat', 'mat .'),
+        (CAST(3 AS BIGINT), 'Ada founded Acme Corp', 'founded', 'Ada the great', 'Acme Corp'),
+        (CAST(4 AS BIGINT), 'Unknown sentence', 'foo', 'bar', 'baz')
+    ) AS t(line_no, sentence, rel, arg1, arg2)
+"""
+
+
+def q_wire57_scores(spark, sf_dir):
+    from openie_with_entities_spark.evaluate_wire57 import wire57_eval_files
+
+    return wire57_eval_files(
+        spark,
+        os.path.join(_WIRE57_DIR, "gold.txt"),
+        os.path.join(_WIRE57_DIR, "system.txt"),
+    )
+
+
+# hand-derived on the fixture: sent 1 greedy-matches (g1,p1)=(1,1) then
+# (g2,p2)=(1,.5) → prec [2,2] rec [1.5,2]; 'Ada founded Acme Corp' matches
+# (2/3,1) → prec [2/3,1] rec [1,1]; 'Bob moved to Paris' has no preds →
+# prec [0,0] rec [0,1]; P=(8/3)/3=8/9, R=2.5/4, F1=80/109.
+O_WIRE57 = """
+    SELECT CAST(3 AS BIGINT) AS n_sentences,
+           2.6667 AS prec_num, CAST(3 AS BIGINT) AS prec_den,
+           2.5 AS rec_num, CAST(4 AS BIGINT) AS rec_den,
+           0.8889 AS precision, 0.625 AS recall, 0.7339 AS f1
+"""
+
+
+# --------------------------------------------------------------------------
+# KG graph consumer queries (graph.py) over a fixed edge topology: a hub
+# (E1), a chain to E4/E5, a self-loop on E5, and an isolated pair E7-E8.
+# --------------------------------------------------------------------------
+
+_GRAPH_FIXTURE = [
+    ("E1", "founded", "E2", 5, 3, 0.9),
+    ("E1", "acquired", "E3", 2, 2, 0.8),
+    ("E2", "partnered with", "E3", 1, 1, 0.7),
+    ("E3", "located in", "E4", 4, 2, 0.95),
+    ("E4", "part of", "E5", 1, 1, 0.6),
+    ("E6", "ceo of", "E1", 3, 1, 0.85),
+    ("E7", "married to", "E8", 2, 2, 0.75),
+    ("E5", "refers to", "E5", 1, 1, 0.5),
+]
+_GRAPH_DDL = (
+    "src_entity string, predicate string, dst_entity string, "
+    "n_mentions long, n_convs long, max_confidence double"
+)
+
+
+def _graph_values() -> str:
+    return ", ".join(
+        f"('{s}', '{p}', '{d}', {nm}, {nc}, {mc})"
+        for s, p, d, nm, nc, mc in _GRAPH_FIXTURE
+    )
+
+
+def q_kg_khop(spark, sf_dir):
+    from openie_with_entities_spark.graph import khop_neighborhood
+
+    edges = spark.createDataFrame(_GRAPH_FIXTURE, _GRAPH_DDL)
+    return khop_neighborhood(edges, ["E1", "E7"], k=2)
+
+
+def o_kg_khop() -> str:
+    # min-hop BFS as a depth-bounded recursive CTE (the same
+    # recursive-oracle pattern as o_docs_neardup_clusters)
+    return f"""
+        WITH RECURSIVE e(src_entity, predicate, dst_entity, n_mentions,
+                         n_convs, max_confidence) AS (
+            VALUES {_graph_values()}),
+        adj AS (
+            SELECT src_entity AS a, dst_entity AS b FROM e
+            UNION
+            SELECT dst_entity, src_entity FROM e),
+        seeds(seed) AS (VALUES ('E1'), ('E7')),
+        walk(seed, entity, hop) AS (
+            SELECT seed, seed, 0 FROM seeds
+            UNION ALL
+            SELECT w.seed, a.b, w.hop + 1
+            FROM walk w JOIN adj a ON a.a = w.entity
+            WHERE w.hop < 2)
+        SELECT seed, entity, CAST(min(hop) AS INT) AS hop
+        FROM walk GROUP BY 1, 2
+    """
+
+
+def q_kg_degree_topk(spark, sf_dir):
+    from openie_with_entities_spark.graph import top_entities_by_degree
+
+    edges = spark.createDataFrame(_GRAPH_FIXTURE, _GRAPH_DDL)
+    return top_entities_by_degree(edges, topk=5)
+
+
+def o_kg_degree_topk() -> str:
+    return f"""
+        WITH e(src_entity, predicate, dst_entity, n_mentions, n_convs,
+               max_confidence) AS (VALUES {_graph_values()}),
+        ends AS (
+            SELECT src_entity AS entity, n_mentions AS w, 1 AS is_out FROM e
+            UNION ALL
+            SELECT dst_entity, n_mentions, 0 FROM e)
+        SELECT entity, CAST(sum(is_out) AS BIGINT) AS out_deg,
+               CAST(sum(1 - is_out) AS BIGINT) AS in_deg,
+               CAST(sum(w) AS BIGINT) AS degree
+        FROM ends GROUP BY entity
+        ORDER BY degree DESC, entity ASC LIMIT 5
+    """
+
+
+# --------------------------------------------------------------------------
+# Streaming clean drain — the streaming path's driver-witnessed oracle row:
+# stream the documents table (plus injected exact duplicates) through
+# streaming_clean_documents with an availableNow drain, and compare the
+# text-pure projection against the batch gates in DuckDB. The surviving
+# doc_id of a duplicate group is arrival-order-dependent (legit streaming
+# semantics), so the projection carries only text-pure columns; the
+# watermark is set far past the synthetic event times so dedup state never
+# evicts and the result is exactly one row per distinct gated text.
+# --------------------------------------------------------------------------
+
+
+def q_stream_clean_drain(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from openie_with_entities_spark.streaming.ingest import (
+        stream_documents,
+        streaming_clean_documents,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_drain_contract_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        "source",
+        # deterministic synthetic event time (the parquet has no ts)
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")).alias("ts"),
+    )
+    dupes = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source", "ts"
+    )
+    docs.unionByName(dupes).coalesce(4).write.parquet(src)
+    cleaned = streaming_clean_documents(
+        stream_documents(spark, src, max_files_per_trigger=2),
+        watermark="3650 days",
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.read.parquet(out).select(
+        "content_hash",
+        F.md5("text_clean").alias("scrub_fp"),
+        "n_tokens",
+        "stop_ratio",
+    )
+    rows = drained.collect()  # small (≤ one row per gated distinct text)
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "content_hash string, scrub_fp string, n_tokens int, stop_ratio double"
+    )
+
+
+def o_stream_clean_drain() -> str:
+    from openie_with_entities_spark.operators.docops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+    from __spark_entry__ import _STOPLIST_SQL
+
+    # documents texts are all distinct, so the injected duplicates collapse
+    # back onto their originals and the batch equivalent is a pure per-text
+    # gate (same gate SQL as o_docs_prepare_corpus)
+    return f"""
+        SELECT md5(text) AS content_hash,
+               md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+                   '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g'))
+                   AS scrub_fp,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               round(len(list_filter(string_split(text, ' '),
+                     t -> list_contains({_STOPLIST_SQL}, t)))
+                     / len(string_split(text, ' ')), 4) AS stop_ratio
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 10
+          AND len(string_split(text, ' ')) <= 100000
+          AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+              / len(string_split(text, ' ')) < 0.3
+          AND round(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({_STOPLIST_SQL}, t)))
+                    / len(string_split(text, ' ')), 4) >= 0.08
+    """
+
+
 def extra_queries() -> dict:
     return {
         "s2_labels_scan": q_s2_labels_scan,
@@ -2679,6 +2905,11 @@ def extra_queries() -> dict:
         "reader_reverb": q_reader_reverb,
         "reader_stanford": q_reader_stanford,
         "reader_tab": q_reader_tab,
+        "reader_wire57": q_reader_wire57,
+        "wire57_scores": q_wire57_scores,
+        "kg_khop": q_kg_khop,
+        "kg_degree_topk": q_kg_degree_topk,
+        "stream_clean_drain": q_stream_clean_drain,
     }
 
 
@@ -2745,6 +2976,11 @@ def extra_oracles() -> dict:
         "reader_reverb": O_READER_REVERB,
         "reader_stanford": O_READER_STANFORD,
         "reader_tab": O_READER_TAB,
+        "reader_wire57": O_READER_WIRE57,
+        "wire57_scores": O_WIRE57,
+        "kg_khop": o_kg_khop(),
+        "kg_degree_topk": o_kg_degree_topk(),
+        "stream_clean_drain": o_stream_clean_drain(),
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -343,14 +343,56 @@ def simple_tuple_match(ref: Ext, ex: Ext) -> list[float]:
     ]
 
 
+BERT_SCORE_F1_THRESHOLD = 0.5
+
+# injectable scorer: fn(cands: list[str], refs: list[str]) -> list[float]
+# (F1 per pair). Tests plug a deterministic stand-in; production plugs
+# bert_score. Module-level singleton so the model loads once per worker —
+# the same pattern as the neural extraction backend (extract/backends).
+_BERT_SCORER = None
+
+
+def set_bert_scorer(fn) -> None:
+    """Install (or clear, with None) the pairwise F1 scorer used by
+    :func:`bert_score_match`."""
+    global _BERT_SCORER
+    _BERT_SCORER = fn
+
+
+def _load_bert_scorer():
+    """Try the real bert-score package; None when absent (this sandbox)."""
+    try:
+        from bert_score import score as _bs  # noqa: PLC0415
+    except ImportError:
+        return None
+
+    def scorer(cands: list[str], refs: list[str]) -> list[float]:
+        _, _, f1 = _bs(cands, refs, lang="en", verbose=False)
+        return [float(v) for v in f1]
+
+    return scorer
+
+
+def _flat(e: Ext) -> str:
+    return " ".join([e.args[0] if e.args else "", e.pred, *e.args[1:]]).strip()
+
+
 def bert_score_match(ref: Ext, ex: Ext) -> bool:
-    """--bertscoreMatch (carb.py:498-499) needs the bert-score model — a
-    real dependency seam in this environment, same policy as the neural
-    extraction backend (extract/neural.py)."""
-    raise NotImplementedError(
-        "bert_score_match requires the bert-score package/model; "
-        "use another matcher or plug a scorer in at this seam"
-    )
+    """--bertscoreMatch: the reference CLI selects
+    ``Matcher.bert_score_match`` (carb.py:498-499) but matcher.py never
+    defines it — the flag AttributeErrors in the reference itself, so the
+    semantics are defined HERE: BERTScore F1 between the flattened
+    ``arg1 rel arg2 …`` strings, binary at ``BERT_SCORE_F1_THRESHOLD``.
+    The scorer is a dependency seam: the bert-score package when
+    importable, else whatever :func:`set_bert_scorer` installed, else
+    NotImplementedError (no model in this sandbox)."""
+    scorer = _BERT_SCORER or _load_bert_scorer()
+    if scorer is None:
+        raise NotImplementedError(
+            "bert_score_match needs the bert-score package or an injected "
+            "scorer (set_bert_scorer); neither is available"
+        )
+    return scorer([_flat(ex)], [_flat(ref)])[0] >= BERT_SCORE_F1_THRESHOLD
 
 
 MATCHERS: dict[str, object] = {

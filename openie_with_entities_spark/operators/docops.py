@@ -761,6 +761,7 @@ def common_shingle_df(
     k: int = 15,
     min_df: int = 2,
     max_entries: int = 4_000_000,
+    shingle_arrays: DataFrame | None = None,
 ) -> dict[int, int]:
     """Exact document frequency of every REPEATED shingle, as a driver-side
     {xxhash64: df} dict for broadcast into the prefix-order UDF.
@@ -772,8 +773,15 @@ def common_shingle_df(
     defaults to df 1 and costs at most (true df)² candidate pairs, and
     everything beyond the top max_entries has true df ≤ rows/max_entries).
     df=1 shingles — the overwhelming majority of any natural corpus — never
-    leave the executors."""
-    sh = _spread(docs).select(F.explode(shingle_hash_array(k)).alias("h"))
+    leave the executors.
+
+    ``shingle_arrays`` (a materialized (doc_id, sh) table from
+    :func:`_shingle_arrays`) skips recomputing the text→shingle projection
+    when the caller already holds it."""
+    if shingle_arrays is not None:
+        sh = shingle_arrays.select(F.explode("sh").alias("h"))
+    else:
+        sh = _spread(docs).select(F.explode(shingle_hash_array(k)).alias("h"))
     pdf = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -785,8 +793,29 @@ def common_shingle_df(
     return dict(zip(pdf["h"].tolist(), pdf["df"].tolist()))
 
 
+def _shingle_arrays(docs: DataFrame, k: int) -> DataFrame:
+    """The materialized (doc_id, sh: array<long>) shingle-hash table —
+    computed ONCE (eager localCheckpoint) and shared by the df aggregate,
+    the prefix projection, and both sides of the verify join, which
+    otherwise each re-execute the text→shingle projection AND the caller's
+    entire upstream plan (for conversation-level callers that upstream is a
+    full conv_id aggregation — measured 4 redundant executions per
+    ngram_jaccard_pairs call). 8 bytes per corpus token, block-manager
+    resident with disk spill — the working set a 100-TB run would
+    materialize anyway rather than re-shingle the corpus four times."""
+    return (
+        _spread(docs)
+        .select("doc_id", shingle_hash_array(k).alias("sh"))
+        .localCheckpoint()
+    )
+
+
 def jaccard_prefix_candidates(
-    docs: DataFrame, k: int = 15, threshold: float = 0.5, df_map=None
+    docs: DataFrame,
+    k: int = 15,
+    threshold: float = 0.5,
+    df_map=None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for exact Jaccard ≥ t, by prefix filtering under a
     DOCUMENT-FREQUENCY-ascending global order (ppjoin-style).
@@ -817,7 +846,7 @@ def jaccard_prefix_candidates(
     verified count by one; the string-exact twin is the brute-force oracle
     the driver compares against every round."""
     if df_map is None:
-        df_map = common_shingle_df(docs, k)
+        df_map = common_shingle_df(docs, k, shingle_arrays=shingle_arrays)
     bc = docs.sparkSession.sparkContext.broadcast(df_map)
 
     @F.pandas_udf("array<long>")
@@ -843,20 +872,27 @@ def jaccard_prefix_candidates(
             out.append(a[np.lexsort((a, dfs))[:p]])
         return pd.Series(out)
 
-    base = _spread(docs).select("doc_id", shingle_hash_array(k).alias("_h"))
+    if shingle_arrays is not None:
+        base = shingle_arrays.select("doc_id", F.col("sh").alias("_h"))
+    else:
+        base = _spread(docs).select(
+            "doc_id", shingle_hash_array(k).alias("_h")
+        )
     # materialize the prefix table (eager localCheckpoint, (1−t)·set-size
-    # rows of 20 bytes) so the shingle/UDF pipeline runs ONCE — left lazy it
-    # executes once per side of the self-join below
+    # rows of 28 bytes) so the shingle/UDF pipeline runs ONCE — left lazy it
+    # executes once per side of the self-join below. ``pos`` is the
+    # element's rank in the document's FULL df-sorted shingle array (the
+    # prefix is its first p elements, so posexplode ranks are global ranks).
     prefix = base.select(
         "doc_id",
         F.size("_h").alias("n_sh"),
-        F.explode(prefix_of(F.col("_h"))).alias("h"),
+        F.posexplode(prefix_of(F.col("_h"))).alias("pos", "h"),
     ).localCheckpoint()
     # size filter with the same epsilon guard: J ≥ t implies t·|A| ≤ |B| in
     # EXACT arithmetic, but float t·|A| can land just above the true
     # rational (0.9·10 → 9.000000000000002 > 9) and reject a boundary pair
     t_eps = threshold - 1e-9
-    return (
+    matched = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -868,8 +904,36 @@ def jaccard_prefix_candidates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
         )
-        .distinct()
+    )
+    # ppjoin POSITION filter (exact — Xiao et al. 2008, §3.2): under the
+    # shared global order, the pair's globally-smallest shared element is
+    # observed by the prefix join with min position on BOTH sides (no
+    # shared element can precede it in either document: it would sort
+    # earlier globally and thus sit in both prefixes at smaller positions).
+    # Every shared element therefore lies in the position-pa0.. / pb0..
+    # suffixes, so |A∩B| ≤ min(na−pa0, nb−pb0); J ≥ t needs
+    # |A∩B| ≥ t·(na+nb)/(1+t).  The agg replaces the old DISTINCT (same
+    # one pair-keyed shuffle, map-combinable mins) and at low thresholds
+    # prunes the verify join by orders of magnitude — 26,745 → ~dozens of
+    # candidates on the 500-conversation t=0.2 slice — because spuriously
+    # shared shingles have df > 1 and sort near the END of both documents.
+    alpha = threshold * (F.col("na") + F.col("nb")) / (1 + threshold)
+    return (
+        matched.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
+        .where(
+            1
+            + F.least(
+                F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
+            )
+            >= alpha - 1e-9
+        )
+        .select("doc_a", "doc_b")
     )
 
 
@@ -895,8 +959,10 @@ def ngram_jaccard_pairs(
     join as a computed subplan: left lazy, Spark re-executes the whole
     prefix pipeline inside the verify query, tripling its cost (measured
     22.8s vs 5.5s at sf0.1)."""
-    candidates = jaccard_prefix_candidates(docs, k, threshold).localCheckpoint()
-    arrs = _spread(docs).select("doc_id", shingle_hash_array(k).alias("sh"))
+    arrs = _shingle_arrays(docs, k)
+    candidates = jaccard_prefix_candidates(
+        docs, k, threshold, shingle_arrays=arrs
+    ).localCheckpoint()
     # broadcast the CANDIDATES (normally bounded by the prefix filter),
     # stream the corpus-side arrays — the only join orientation that
     # survives a 100× corpus; the second join stays a plain equi-join (AQE

@@ -2,6 +2,7 @@
 (/root/reference/carb/matcher.py:188-263, 328-358; carb/carb.py:62-314)."""
 
 import numpy as np
+import pytest
 
 from openie_with_entities_spark.evaluate import (
     Ext,
@@ -250,3 +251,33 @@ class TestSingleMatchStrategy:
             carb_pr(gold, pred, strategy="nope")
         assert carb_pr(gold, pred).zero_conf_recall == 0.875
         assert carb_pr(gold, pred, strategy="ss").zero_conf_recall == 0.5
+
+
+class TestBertScoreSeam:
+    def test_unavailable_raises(self):
+        import openie_with_entities_spark.evaluate as ev
+
+        ev.set_bert_scorer(None)
+        with pytest.raises(NotImplementedError):
+            ev.bert_score_match(Ext("likes", ["A", "B"]), Ext("likes", ["A", "B"]))
+
+    def test_injected_scorer_drives_binary_match(self):
+        import openie_with_entities_spark.evaluate as ev
+
+        def scorer(cands, refs):
+            return [1.0 if c == r else 0.1 for c, r in zip(cands, refs)]
+
+        ev.set_bert_scorer(scorer)
+        try:
+            same = Ext("likes", ["A", "B"])
+            assert ev.bert_score_match(same, Ext("likes", ["A", "B"])) is True
+            assert ev.bert_score_match(Ext("hates", ["C"]), same) is False
+            # composes with the threshold machinery like any binary matcher
+            contrib = ev.sentence_contributions(
+                [same], [Ext("likes", ["A", "B"], 0.9)], [0.0],
+                matcher=ev.bert_score_match,
+            )
+            assert contrib[0].tolist() == [1.0, 1.0, 1.0, 1.0]
+            assert ev.get_matcher("bertscore") is ev.bert_score_match
+        finally:
+            ev.set_bert_scorer(None)
