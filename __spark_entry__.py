@@ -460,6 +460,11 @@ _ROUND = 5  # bump when a new round starts; drives the sentinel rotation
 
 _FIRST_WINDOW = [
     # round-5 new
+    "reader_clausie",
+    "reader_benchmark_gold",
+    "fmt_readable",
+    "fmt_oie_to_allennlp",
+    "e2_pr_curve",
     "reader_ollie",
     "reader_openie4",
     "reader_openie5",
@@ -498,11 +503,9 @@ _FIRST_WINDOW = [
     "emb_ann_lsh",
     "emb_cosine_topk",
     "media_features",
-    "a3_neardedup",
-    "a8_snap_objects",
-    "q1_pricing_summary",
-    "m4_oie_stage",
-    "m3_conj_split",
+    # (a3_neardedup, a8_snap_objects, q1_pricing_summary, m4_oie_stage,
+    #  m3_conj_split moved to the rotating-sentinel pool in round 5 to make
+    #  room for the new reader/converter entries — stable since rounds 1-2)
     # recorded-value checksums (recorded at sf0.01, cheap, high signal)
     "kg_triples_checksum",
     "docs_simhash_checksum",
@@ -510,7 +513,7 @@ _FIRST_WINDOW = [
     "e5_conj_eval",
 ]
 
-_N_NEW_R5 = 12  # sentinels splice in after the round-5 block
+_N_NEW_R5 = 17  # sentinels splice in after the round-5 block
 _N_SENTINELS = 6
 
 

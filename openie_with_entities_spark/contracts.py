@@ -2285,6 +2285,153 @@ O_READER_TAB = """
 """
 
 
+def q_reader_clausie(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_clausie
+
+    return _reader_projection(
+        read_clausie(spark, os.path.join(_READER_FIXTURES, "clausie.txt"))
+    )
+
+
+# stateful format: each 5-field line binds to the nearest sentence line
+# ABOVE it (clausieReader.py:25-42); quotes stripped via s[1:-1]
+O_READER_CLAUSIE = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 0.91),
+        ('Ada founded Acme Corp .', 'Ada', 'was', 'a founder', '', 0.55),
+        ('the cat sat on the mat', 'the cat', 'sat on', 'the mat', '', 0.77)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+def q_reader_benchmark_gold(spark, sf_dir):
+    from openie_with_entities_spark.sources.readers import read_benchmark_gold
+
+    return _reader_projection(
+        read_benchmark_gold(
+            spark, os.path.join(_READER_FIXTURES, "benchmark_gold.txt")
+        )
+    )
+
+
+# sent \t rel \t arg1 \t arg2 …, confidence pinned to 1.0, NO 'C: ' filter
+# (benchmarkGoldReader.py:22-45)
+O_READER_BGOLD = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .', 'Ada', 'founded', 'Acme Corp', '', 1.0),
+        ('the cat sat on the mat', 'the cat', 'sat on', 'the mat',
+         'since noon', 1.0)
+    ) AS t(sentence, arg1, rel, arg2, extra_str, confidence)
+"""
+
+
+# --------------------------------------------------------------------------
+# Readable-format converters (utils/readable.py + utils/oie_to_allennlp.py)
+# --------------------------------------------------------------------------
+
+_READABLE_FIXTURES = os.path.join(FIXTURE_DIR, "readable")
+
+
+def q_fmt_readable(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import to_readable_blocks
+
+    preds = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", -0.1),
+            ("s1", "Ada", "visited", "Paris", -0.5),
+            ("s1", "Bob", "left", "town", -1.0),  # below threshold → dropped
+            ("s2", "Eve", "saw", "it", 0.0),
+        ],
+        "sentence string, arg1 string, rel string, arg2 string, "
+        "confidence double",
+    )
+    return to_readable_blocks(preds, threshold=-0.7)
+
+
+# hand-derived: round(exp(-0.1),2)=0.9 → '0.9'; exp(-0.5)→0.61; exp(0)→'1.0'
+O_FMT_READABLE = """
+    SELECT * FROM (VALUES
+        ('s1', concat('s1', chr(10),
+                      '0.9 ( Ada ; founded ; Acme )', chr(10),
+                      '0.61 ( Ada ; visited ; Paris )')),
+        ('s2', concat('s2', chr(10), '1.0 ( Eve ; saw ; it )'))
+    ) AS t(sentence, block)
+"""
+
+
+def q_fmt_oie_to_allennlp(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import (
+        read_conj_blocks,
+        readable_to_allennlp,
+    )
+
+    conj = read_conj_blocks(
+        spark, os.path.join(_READABLE_FIXTURES, "conj.txt")
+    ).where("split_sentence <> orig_sentence")
+    return readable_to_allennlp(
+        spark, os.path.join(_READABLE_FIXTURES, "preds.txt"), conj=conj
+    ).select("sentence", "tagged", "confidence_str")
+
+
+# hand-derived from the fixture through oie_to_allennlp.py:36-63 semantics:
+# the original-with-splits block is dropped, split sentences rewrite to the
+# original, 'L:'/'T:' leave double spaces, Context drops through its first
+# ':' with later ':' → ' '
+O_FMT_O2A = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme and moved to Paris .',
+         '<arg1> Ada </arg1> <rel> founded </rel> <arg2> Acme </arg2>',
+         '0.91'),
+        ('Ada founded Acme and moved to Paris .',
+         '<arg1> Ada </arg1> <rel> moved </rel> <arg2> to Paris  Paris </arg2>',
+         '0.88'),
+        ('the cat sat on the mat',
+         '<arg1> the cat </arg1> <rel> sat </rel> <arg2> on the mat </arg2>',
+         '0.77'),
+        ('the cat sat on the mat',
+         '<arg1> the cat </arg1> <rel> sat </rel> <arg2> on the mat T  at noon </arg2>',
+         '0.5')
+    ) AS t(sentence, tagged, confidence_str)
+"""
+
+
+def q_e2_pr_curve(spark, sf_dir):
+    """The pr_plot data surface (/root/reference/carb/pr_plot.py:31-38
+    reads (precision, recall) columns per threshold from benchmark .dat
+    files): carb_pr's full curve as rows instead of the scalar summary."""
+    from openie_with_entities_spark.evaluate import carb_pr
+
+    gold = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 1.0),
+            ("s2", "Eve", "visited", "Paris", 1.0),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 0.9),
+            ("s1", "Ada", "visited", "Paris", 0.4),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    r = carb_pr(gold, pred)
+    return spark.createDataFrame(
+        [(float(t), round(p, 4), round(rec, 4)) for t, p, rec in r.curve],
+        "threshold double, precision double, recall double",
+    )
+
+
+# same fixture as O_E2: survivors at t=0.4 are both preds (p=.5, r=.5); at
+# t=0.9 only the exact match (p=1, r=.5)
+O_E2_CURVE = """
+    SELECT * FROM (VALUES
+        (0.4, 0.5, 0.5),
+        (0.9, 1.0, 0.5)
+    ) AS t(threshold, precision, recall)
+"""
+
+
 # --------------------------------------------------------------------------
 # Heavy hitters + unigram log-prob (docops) — vocabulary-scale patterns
 # --------------------------------------------------------------------------
@@ -2905,6 +3052,11 @@ def extra_queries() -> dict:
         "reader_reverb": q_reader_reverb,
         "reader_stanford": q_reader_stanford,
         "reader_tab": q_reader_tab,
+        "reader_clausie": q_reader_clausie,
+        "reader_benchmark_gold": q_reader_benchmark_gold,
+        "fmt_readable": q_fmt_readable,
+        "fmt_oie_to_allennlp": q_fmt_oie_to_allennlp,
+        "e2_pr_curve": q_e2_pr_curve,
         "reader_wire57": q_reader_wire57,
         "wire57_scores": q_wire57_scores,
         "kg_khop": q_kg_khop,
@@ -2976,6 +3128,11 @@ def extra_oracles() -> dict:
         "reader_reverb": O_READER_REVERB,
         "reader_stanford": O_READER_STANFORD,
         "reader_tab": O_READER_TAB,
+        "reader_clausie": O_READER_CLAUSIE,
+        "reader_benchmark_gold": O_READER_BGOLD,
+        "fmt_readable": O_FMT_READABLE,
+        "fmt_oie_to_allennlp": O_FMT_O2A,
+        "e2_pr_curve": O_E2_CURVE,
         "reader_wire57": O_READER_WIRE57,
         "wire57_scores": O_WIRE57,
         "kg_khop": o_kg_khop(),

@@ -264,6 +264,150 @@ def to_labels_blocks(label_rows: DataFrame, sentences: DataFrame) -> DataFrame:
     )
 
 
+def to_readable_blocks(
+    preds: DataFrame, threshold: float | None = None
+) -> DataFrame:
+    """Human-readable per-sentence blocks — the reference's
+    ``utils/readable.py`` allennlp path (readable.py:88-130): for each
+    sentence, extractions sorted by confidence descending, each line
+    ``round(exp(conf), 2) ( arg1 ; rel ; arg2 )`` (allennlp confidences
+    are log-probs; the tag→bracket rewrite of readable.py:119-123 on a
+    well-formed tagged string is exactly this spaced-bracket render).
+    ``threshold`` drops rows with ``confidence < threshold`` BEFORE the
+    exp, as the reference does.
+
+    Within equal confidences the reference keeps file order; a distributed
+    group has no file order, so ties break on the rendered line
+    (deterministic, order-independent). Returns (sentence, block)."""
+    if threshold is not None:
+        preds = preds.where(F.col("confidence") >= F.lit(threshold))
+    # str(round(exp(c), 2)) — double→string casts render the shortest
+    # repr ('1.0', '0.61'), matching Python's str(float)
+    line = F.format_string(
+        "%s ( %s ; %s ; %s )",
+        F.round(F.exp("confidence"), 2).cast("string"),
+        F.col("arg1"),
+        F.col("rel"),
+        F.col("arg2"),
+    )
+    ordered = F.reverse(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.round("confidence", 4).alias("c"), line.alias("l"))
+            )
+        )
+    )
+    return preds.groupBy("sentence").agg(
+        F.concat_ws(
+            "\n",
+            F.col("sentence"),
+            F.array_join(F.transform(ordered, lambda s: s["l"]), "\n"),
+        ).alias("block")
+    )
+
+
+def readable_to_allennlp(
+    spark: SparkSession, path: str, conj: DataFrame | None = None
+) -> DataFrame:
+    """Parse a readable extraction file back to allennlp rows — the
+    reference's ``utils/oie_to_allennlp.py``: blank-line-delimited blocks
+    of ``sentence\\nconf (arg1 ; rel ; arg2)…``; the confidence is the
+    first space-token stripped of ':', a 'Context' line is rewritten to
+    ``' '.join(split(':')[1:])``, fields split on ';' with arg1 losing the
+    opening '(' and the object = remaining fields space-joined minus the
+    closing ')' with 'L:'/'T:' markers removed (oie_to_allennlp.py:36-63).
+
+    ``conj`` (optional) is the split→original mapping of a conj file —
+    (orig_sentence, split_sentence) rows, e.g. ``read_conj_blocks(...)
+    .where("split_sentence <> orig_sentence")``. As in the reference,
+    blocks whose sentence is an ORIGINAL with splits are dropped
+    (their extractions come from the splits) and split sentences are
+    rewritten to their original. The mapping is a broadcast join — the
+    reference holds it fully in memory.
+
+    Returns (sentence, tagged, confidence_str) plus ``line`` — the
+    on-disk ``sent\\t<arg1>…\\tconf`` row."""
+    numbered = _numbered_blocks(spark, path)
+    sent = numbered.where("pos = 1").select(
+        "block_id", F.col("value").alias("sentence")
+    )
+    if conj is not None:
+        mapping = F.broadcast(
+            conj.select("orig_sentence", "split_sentence").distinct()
+        )
+        originals = F.broadcast(
+            conj.select(F.col("orig_sentence").alias("sentence")).distinct()
+        )
+        sent = sent.join(originals, "sentence", "left_anti")
+        sent = (
+            sent.join(
+                mapping,
+                sent["sentence"] == mapping["split_sentence"],
+                "left",
+            )
+            .select(
+                "block_id",
+                F.coalesce("orig_sentence", "sentence").alias("sentence"),
+            )
+        )
+    ext = (
+        numbered.where("pos > 1")
+        .select("block_id", "pos", F.col("value").alias("raw"))
+        # confidence = first space-token, ':' stripped from both ends
+        .withColumn(
+            "confidence_str", F.expr("trim(BOTH ':' FROM split(raw, ' ')[0])")
+        )
+        # ' '.join(tokens[1:]) ≡ text after the first space
+        .withColumn("_rest", F.expr("substr(raw, instr(raw, ' ') + 1)"))
+        # a Context extraction: ' '.join(split(':')[1:]) ≡ drop through the
+        # first ':' and turn every later ':' into a space
+        .withColumn(
+            "_rest",
+            F.when(
+                F.col("_rest").contains("Context"),
+                F.expr(
+                    "translate(substr(_rest, instr(_rest, ':') + 1), ':', ' ')"
+                ),
+            ).otherwise(F.col("_rest")),
+        )
+        .withColumn("_fields", F.split("_rest", ";"))
+        # object = ' '.join(fields[2:]) minus the trailing ')'
+        .withColumn(
+            "_obj", F.array_join(F.slice("_fields", 3, 1_000_000), " ")
+        )
+    )
+    parsed = ext.select(
+        "block_id",
+        "pos",
+        "confidence_str",
+        F.trim(F.expr("substr(element_at(_fields, 1), 2)")).alias("arg1"),
+        F.trim(F.element_at("_fields", 2)).alias("rel"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.expr("substr(_obj, 1, length(_obj) - 1)"), "L:", ""
+                ),
+                "T:",
+                "",
+            )
+        ).alias("arg2"),
+    )
+    out = parsed.join(sent, "block_id").select(
+        "sentence",
+        F.format_string(
+            "<arg1> %s </arg1> <rel> %s </rel> <arg2> %s </arg2>",
+            "arg1",
+            "rel",
+            "arg2",
+        ).alias("tagged"),
+        "confidence_str",
+    )
+    return out.withColumn(
+        "line",
+        F.format_string("%s\t%s\t%s", "sentence", "tagged", "confidence_str"),
+    )
+
+
 # conj label ids (/root/reference/data.py:410-412); index in this list = id
 CONJ_LABEL_NAMES = ["NONE", "CP", "CP_START", "CC", "SEP", "OTHERS"]
 

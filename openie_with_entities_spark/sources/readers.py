@@ -11,6 +11,11 @@ output formats (/root/reference/carb/oie_readers/):
   * Stanford   stanfordReader.py:7-22
   * tabbed     tabReader.py:14-56
 
+plus the two gold-side tabbed variants:
+
+  * ClausIE        clausieReader.py:18-42 (stateful sentence-line format)
+  * BenchmarkGold  benchmarkGoldReader.py:17-45
+
 Each reader here is a native-column Spark scan producing the engine's
 uniform prediction schema
 
@@ -26,7 +31,7 @@ codegen and scale to arbitrarily large prediction corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _PRED_COLS = ["sentence", "arg1", "rel", "arg2", "extra_args", "confidence"]
@@ -181,6 +186,66 @@ def read_stanford(spark: SparkSession, path: str) -> DataFrame:
         F.element_at("p", 5).alias("arg2"),
         F.array().cast("array<string>").alias("extra_args"),
         F.element_at("p", 12).cast("double").alias("confidence"),
+    )
+
+
+def read_clausie(spark: SparkSession, path: str) -> DataFrame:
+    """ClausIE output (clausieReader.py:23-42): a bare line carries the
+    sentence; each following 5-field line is one extraction whose bracketed
+    args/rel (``s[1:-1]`` quote strip) belong to the MOST RECENT sentence
+    line — an inherently sequential, stateful format. The distributed
+    version: per-file line numbers (same partition-prefixed
+    ``monotonically_increasing_id`` argument as formats._numbered_blocks),
+    then ``last(sentence) IGNORE NULLS`` over the per-file line order —
+    one window shuffle keyed by file, so a directory of ClausIE files
+    parallelizes per-file instead of serializing through the driver the
+    way the reference's ``readlines()`` walk does."""
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("_file"),
+        F.monotonically_increasing_id().alias("_line"),
+        F.split("value", "\t").alias("p"),
+    ).where(F.size("p") > 0)
+    w = (
+        Window.partitionBy("_file")
+        .orderBy("_line")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    def unquote(i: int) -> Column:
+        # s[1:-1] — drop the surrounding quote characters (1-based field i)
+        c = f"element_at(p, {i})"
+        return F.expr(f"substr({c}, 2, length({c}) - 2)")
+
+    cur = raw.withColumn(
+        "sentence",
+        F.last(
+            F.when(F.size("p") == 1, F.element_at("p", 1)), ignorenulls=True
+        ).over(w),
+    )
+    return cur.where(F.size("p") == 5).select(
+        "sentence",
+        unquote(2).alias("arg1"),
+        unquote(3).alias("rel"),
+        unquote(4).alias("arg2"),
+        F.array().cast("array<string>").alias("extra_args"),
+        F.element_at("p", 5).cast("double").alias("confidence"),
+    )
+
+
+def read_benchmark_gold(spark: SparkSession, path: str) -> DataFrame:
+    """Benchmark gold tabbed file (benchmarkGoldReader.py:22-45):
+    ``sent \\t rel \\t arg1 \\t arg2 …`` with every field stripped, blank
+    lines skipped, confidence fixed at 1.0. Unlike GoldReader
+    (formats.read_gold_tsv) there is NO ``C:`` arg filter — args keep
+    their positions verbatim."""
+    df = _parts(spark.read.text(path))
+    args = F.transform(F.slice("p", 3, 1_000_000), F.trim)
+    return df.select(
+        F.trim(F.element_at("p", 1)).alias("sentence"),
+        F.coalesce(F.get(args, 0), F.lit("")).alias("arg1"),
+        F.trim(F.element_at("p", 2)).alias("rel"),
+        F.coalesce(F.get(args, 1), F.lit("")).alias("arg2"),
+        F.slice(args, 3, 1_000_000).alias("extra_args"),
+        F.lit(1.0).alias("confidence"),
     )
 
 

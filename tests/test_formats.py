@@ -583,3 +583,80 @@ def test_reconcile_partial_keeper_crash_window(spark, tmpdir):
     r2 = reconcile_stream_dedup(spark, out)
     assert r2.dups_dropped == 1
     assert r2.survivors.count() == 3
+
+
+# --------------------------------------------------------------------------
+# readable.py / oie_to_allennlp.py converters
+# --------------------------------------------------------------------------
+
+_RFX = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "readable",
+)
+
+
+def test_readable_blocks_sort_threshold_and_exp(spark):
+    from openie_with_entities_spark.sources.formats import to_readable_blocks
+
+    preds = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", -0.1),
+            ("s1", "Ada", "visited", "Paris", -0.5),
+            ("s1", "Bob", "left", "town", -1.0),
+        ],
+        "sentence string, arg1 string, rel string, arg2 string, "
+        "confidence double",
+    )
+    got = {r.sentence: r.block for r in
+           to_readable_blocks(preds, threshold=-0.7).collect()}
+    # exp() applied, 2-dp round, shortest float repr, confidence-desc order,
+    # below-threshold row dropped (readable.py:100-130)
+    assert got == {
+        "s1": "s1\n0.9 ( Ada ; founded ; Acme )\n"
+              "0.61 ( Ada ; visited ; Paris )"
+    }
+
+
+def test_readable_to_allennlp_conj_mapping_and_field_parse(spark):
+    from openie_with_entities_spark.sources.formats import (
+        read_conj_blocks,
+        readable_to_allennlp,
+    )
+
+    conj = read_conj_blocks(spark, os.path.join(_RFX, "conj.txt")).where(
+        "split_sentence <> orig_sentence"
+    )
+    got = sorted(
+        (r.sentence, r.tagged, r.confidence_str)
+        for r in readable_to_allennlp(
+            spark, os.path.join(_RFX, "preds.txt"), conj=conj
+        ).collect()
+    )
+    orig = "Ada founded Acme and moved to Paris ."
+    assert got == sorted([
+        # original-with-splits block dropped; split sentences remapped
+        (orig, "<arg1> Ada </arg1> <rel> founded </rel> <arg2> Acme </arg2>",
+         "0.91"),
+        # 'L:' strip leaves the reference's double space
+        (orig,
+         "<arg1> Ada </arg1> <rel> moved </rel> <arg2> to Paris  Paris </arg2>",
+         "0.88"),
+        ("the cat sat on the mat",
+         "<arg1> the cat </arg1> <rel> sat </rel> <arg2> on the mat </arg2>",
+         "0.77"),
+        # Context rewrite: ' '.join(split(':')[1:]) — later ':' become ' '
+        ("the cat sat on the mat",
+         "<arg1> the cat </arg1> <rel> sat </rel> "
+         "<arg2> on the mat T  at noon </arg2>",
+         "0.5"),
+    ])
+
+
+def test_readable_to_allennlp_without_conj_keeps_all_blocks(spark):
+    from openie_with_entities_spark.sources.formats import readable_to_allennlp
+
+    df = readable_to_allennlp(spark, os.path.join(_RFX, "preds.txt"))
+    assert df.count() == 5  # every extraction line, no blocks dropped
+    # the rendered line column is the on-disk allennlp row
+    row = df.where("confidence_str = '0.91'").collect()[0]
+    assert row.line == f"{row.sentence}\t{row.tagged}\t0.91"

@@ -129,3 +129,32 @@ def test_reader_output_feeds_carb_pr_directly(spark):
     r = carb_pr(gold, pred)
     assert r.zero_conf_recall == 1.0
     assert r.optimal_f1 == 1.0
+
+
+def test_clausie_stateful_sentence_binding(spark):
+    """Each 5-field line binds to the nearest sentence line above it and
+    bracketed fields lose their quote chars (clausieReader.py:25-42)."""
+    from openie_with_entities_spark.sources.readers import read_clausie
+
+    got = _rows(read_clausie(spark, os.path.join(FX, "clausie.txt")))
+    assert got == sorted([
+        ("Ada founded Acme Corp .", "Ada", "founded", "Acme Corp", (), 0.91),
+        ("Ada founded Acme Corp .", "Ada", "was", "a founder", (), 0.55),
+        ("the cat sat on the mat", "the cat", "sat on", "the mat", (), 0.77),
+    ])
+
+
+def test_benchmark_gold_no_c_filter_and_fixed_confidence(spark):
+    """sent \\t rel \\t arg1 \\t args… with confidence pinned to 1.0 and NO
+    'C: ' arg dropping (benchmarkGoldReader.py:22-45, contrast
+    goldReader.py:31-33)."""
+    from openie_with_entities_spark.sources.readers import read_benchmark_gold
+
+    got = _rows(
+        read_benchmark_gold(spark, os.path.join(FX, "benchmark_gold.txt"))
+    )
+    assert got == sorted([
+        ("Ada founded Acme Corp .", "Ada", "founded", "Acme Corp", (), 1.0),
+        ("the cat sat on the mat", "the cat", "sat on", "the mat",
+         ("since noon",), 1.0),
+    ])
