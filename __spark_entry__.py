@@ -465,6 +465,7 @@ _FIRST_WINDOW = [
     "fmt_readable",
     "fmt_oie_to_allennlp",
     "e2_pr_curve",
+    "reader_split_tabbed",
     "reader_ollie",
     "reader_openie4",
     "reader_openie5",
@@ -510,10 +511,10 @@ _FIRST_WINDOW = [
     "kg_triples_checksum",
     "docs_simhash_checksum",
     "e2_carb_pr",
-    "e5_conj_eval",
+    # (e5_conj_eval also rotated to the sentinel pool in round 5)
 ]
 
-_N_NEW_R5 = 17  # sentinels splice in after the round-5 block
+_N_NEW_R5 = 18  # sentinels splice in after the round-5 block
 _N_SENTINELS = 6
 
 

@@ -2325,6 +2325,34 @@ O_READER_BGOLD = """
 """
 
 
+def q_reader_split_tabbed(spark, sf_dir):
+    """split_to_corpus (train/dev/test splitter, oieReader.py:12-24) +
+    the tabbed sink (get_tabbed, oieReader.py:33-43) over the OLLIE
+    fixture: keep the one corpus sentence's extractions, render the
+    tabbed lines."""
+    from openie_with_entities_spark.sources.readers import (
+        read_ollie,
+        split_to_corpus,
+        to_tabbed_lines,
+    )
+
+    preds = read_ollie(spark, os.path.join(_READER_FIXTURES, "ollie.tsv"))
+    corpus = spark.createDataFrame(
+        [("Ada founded Acme Corp .",)], "sentence string"
+    )
+    return to_tabbed_lines(split_to_corpus(preds, corpus))
+
+
+O_READER_SPLIT_TABBED = """
+    SELECT * FROM (VALUES
+        ('Ada founded Acme Corp .' || chr(9) || '0.93' || chr(9) ||
+         'founded' || chr(9) || 'Ada' || chr(9) || 'Acme Corp'),
+        ('Ada founded Acme Corp .' || chr(9) || '0.71' || chr(9) ||
+         'moved to' || chr(9) || 'Ada' || chr(9) || 'Paris')
+    ) AS t(value)
+"""
+
+
 # --------------------------------------------------------------------------
 # Readable-format converters (utils/readable.py + utils/oie_to_allennlp.py)
 # --------------------------------------------------------------------------
@@ -3054,6 +3082,7 @@ def extra_queries() -> dict:
         "reader_tab": q_reader_tab,
         "reader_clausie": q_reader_clausie,
         "reader_benchmark_gold": q_reader_benchmark_gold,
+        "reader_split_tabbed": q_reader_split_tabbed,
         "fmt_readable": q_fmt_readable,
         "fmt_oie_to_allennlp": q_fmt_oie_to_allennlp,
         "e2_pr_curve": q_e2_pr_curve,
@@ -3130,6 +3159,7 @@ def extra_oracles() -> dict:
         "reader_tab": O_READER_TAB,
         "reader_clausie": O_READER_CLAUSIE,
         "reader_benchmark_gold": O_READER_BGOLD,
+        "reader_split_tabbed": O_READER_SPLIT_TABBED,
         "fmt_readable": O_FMT_READABLE,
         "fmt_oie_to_allennlp": O_FMT_O2A,
         "e2_pr_curve": O_E2_CURVE,

@@ -249,6 +249,38 @@ def read_benchmark_gold(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def to_tabbed_lines(preds: DataFrame) -> DataFrame:
+    """The reader family's tabbed SINK (oieReader.py:33-43 get_tabbed /
+    output_tabbed): one ``sent \\t conf \\t rel \\t arg1 \\t arg2 [\\t …]``
+    line per extraction from the uniform prediction schema.
+    :func:`read_tabbed` is its exact inverse. Confidence renders through a
+    double→string cast — Python ``str(float)`` shortest-repr, matching the
+    reference's ``map(str, …)``."""
+    args = F.concat(F.array("arg1", "arg2"), F.col("extra_args"))
+    return preds.select(
+        F.concat_ws(
+            "\t",
+            "sentence",
+            F.col("confidence").cast("string"),
+            "rel",
+            F.array_join(args, "\t"),
+        ).alias("value")
+    )
+
+
+def split_to_corpus(preds: DataFrame, corpus_sentences: DataFrame) -> DataFrame:
+    """Keep only extractions whose sentence appears in a corpus sentence
+    list (oieReader.py:12-24 split_to_corpus — the reference's
+    train/dev/test splitter). ``corpus_sentences`` needs a ``sentence``
+    column; the corpus side is a broadcast semi-join (the reference holds
+    ``raw_sents`` fully in memory), so the prediction side never
+    shuffles."""
+    corpus = corpus_sentences.select(
+        F.trim("sentence").alias("sentence")
+    ).distinct()
+    return preds.join(F.broadcast(corpus), "sentence", "left_semi")
+
+
 def read_tabbed(spark: SparkSession, path: str) -> DataFrame:
     """Tabbed: ``sent \\t prob \\t pred \\t arg1 \\t arg2 …`` with blank
     lines skipped (tabReader.py:23-48)."""

@@ -158,3 +158,30 @@ def test_benchmark_gold_no_c_filter_and_fixed_confidence(spark):
         ("the cat sat on the mat", "the cat", "sat on", "the mat",
          ("since noon",), 1.0),
     ])
+
+
+def test_tabbed_sink_roundtrips_through_read_tabbed(spark, tmp_path):
+    """get_tabbed (oieReader.py:33-43) rendered lines parse back to the
+    identical rows via its inverse read_tabbed."""
+    from openie_with_entities_spark.sources.readers import to_tabbed_lines
+
+    preds = read_ollie(spark, os.path.join(FX, "ollie.tsv"))
+    out = str(tmp_path / "tabbed")
+    to_tabbed_lines(preds).write.mode("overwrite").text(out)
+    back = read_tabbed(spark, out)
+    assert _rows(back) == _rows(preds)
+
+
+def test_split_to_corpus_semi_join(spark):
+    """Only extractions of corpus sentences survive, with multiplicity
+    preserved (oieReader.py:12-24)."""
+    from openie_with_entities_spark.sources.readers import split_to_corpus
+
+    preds = read_ollie(spark, os.path.join(FX, "ollie.tsv"))
+    corpus = spark.createDataFrame(
+        [("Ada founded Acme Corp .",), ("unseen sentence",)],
+        "sentence string",
+    )
+    kept = split_to_corpus(preds, corpus)
+    assert kept.count() == 2
+    assert {r.sentence for r in kept.collect()} == {"Ada founded Acme Corp ."}
