@@ -464,6 +464,7 @@ _FIRST_WINDOW = [
     "reader_benchmark_gold",
     "fmt_readable",
     "fmt_oie_to_allennlp",
+    "fmt_senseoie",
     "e2_pr_curve",
     "reader_split_tabbed",
     "reader_ollie",
@@ -510,11 +511,10 @@ _FIRST_WINDOW = [
     # recorded-value checksums (recorded at sf0.01, cheap, high signal)
     "kg_triples_checksum",
     "docs_simhash_checksum",
-    "e2_carb_pr",
-    # (e5_conj_eval also rotated to the sentinel pool in round 5)
+    # (e2_carb_pr, e5_conj_eval also rotated to the sentinel pool in r5)
 ]
 
-_N_NEW_R5 = 18  # sentinels splice in after the round-5 block
+_N_NEW_R5 = 19  # sentinels splice in after the round-5 block
 _N_SENTINELS = 6
 
 

@@ -2423,6 +2423,43 @@ O_FMT_O2A = """
 """
 
 
+def q_fmt_senseoie(spark, sf_dir):
+    from openie_with_entities_spark.sources.formats import senseoie_to_allennlp
+
+    pairs = spark.createDataFrame(
+        [
+            # matches test sentence modulo spacing/case → kept, canonical form
+            (["Ada", "founded", "Acme", "."],
+             ["E1", "R", "E2", "O"]),
+            # no test-set match → dropped
+            (["nothing", "matches", "this"],
+             ["E1", "R", "E2"]),
+        ],
+        "tokens array<string>, labels array<string>",
+    )
+    tests = spark.createDataFrame(
+        [("Ada founded  Acme . [unused1] [unused2] [unused3]",)],
+        "sentence string",
+    )
+    return senseoie_to_allennlp(pairs, tests).select(
+        "sentence", "tagged", "confidence", "line"
+    )
+
+
+# hand-derived (senseoie.py:5-40): E1/R/E2 words space-joined, sentence
+# matched on the whitespace-stripped lowercase key and replaced by the
+# test corpus's canonical (pre-[unused1]) form, confidence 1
+O_FMT_SENSEOIE = """
+    SELECT 'Ada founded  Acme .' AS sentence,
+           '<arg1> Ada </arg1> <rel> founded </rel> <arg2> Acme </arg2>'
+               AS tagged,
+           1.0 AS confidence,
+           'Ada founded  Acme .' || chr(9) ||
+           '<arg1> Ada </arg1> <rel> founded </rel> <arg2> Acme </arg2>' ||
+           chr(9) || '1' AS line
+"""
+
+
 def q_e2_pr_curve(spark, sf_dir):
     """The pr_plot data surface (/root/reference/carb/pr_plot.py:31-38
     reads (precision, recall) columns per threshold from benchmark .dat
@@ -3085,6 +3122,7 @@ def extra_queries() -> dict:
         "reader_split_tabbed": q_reader_split_tabbed,
         "fmt_readable": q_fmt_readable,
         "fmt_oie_to_allennlp": q_fmt_oie_to_allennlp,
+        "fmt_senseoie": q_fmt_senseoie,
         "e2_pr_curve": q_e2_pr_curve,
         "reader_wire57": q_reader_wire57,
         "wire57_scores": q_wire57_scores,
@@ -3162,6 +3200,7 @@ def extra_oracles() -> dict:
         "reader_split_tabbed": O_READER_SPLIT_TABBED,
         "fmt_readable": O_FMT_READABLE,
         "fmt_oie_to_allennlp": O_FMT_O2A,
+        "fmt_senseoie": O_FMT_SENSEOIE,
         "e2_pr_curve": O_E2_CURVE,
         "reader_wire57": O_READER_WIRE57,
         "wire57_scores": O_WIRE57,

@@ -408,6 +408,51 @@ def readable_to_allennlp(
     )
 
 
+def senseoie_to_allennlp(
+    pairs: DataFrame, test_sentences: DataFrame
+) -> DataFrame:
+    """SenseOIE output → CaRB-scorable allennlp rows — the reference's
+    ``utils/senseoie.py``: per (tokens, labels) row, arg1/rel/arg2 are the
+    space-joins of the words labeled E1/R/E2 (senseoie.py:5-19
+    get_extraction), the sentence is matched against the test corpus on a
+    whitespace-stripped lowercase key, and only matched sentences are kept
+    with the test corpus's canonical surface form (the part before
+    ``[unused1]``) and confidence 1 (senseoie.py:24-40).
+
+    ``pairs`` needs (tokens:array<string>, labels:array<string>);
+    ``test_sentences`` needs a ``sentence`` column. The test corpus is a
+    broadcast join — the reference holds it fully in memory."""
+    def picked(label: str):
+        pick = F.zip_with(
+            "tokens", "labels",
+            lambda w, l: F.when(l == label, w),
+        )
+        return F.array_join(F.filter(pick, lambda x: x.isNotNull()), " ")
+
+    exts = pairs.select(
+        F.lower(
+            F.regexp_replace(F.array_join("tokens", " "), " ", "")
+        ).alias("norm_key"),
+        F.format_string(
+            "<arg1> %s </arg1> <rel> %s </rel> <arg2> %s </arg2>",
+            picked("E1"), picked("R"), picked("E2"),
+        ).alias("tagged"),
+    )
+    canon = F.trim(F.substring_index("sentence", "[unused1]", 1))
+    tests = test_sentences.select(
+        canon.alias("sentence"),
+        F.lower(F.regexp_replace(canon, " ", "")).alias("norm_key"),
+    ).distinct()
+    return exts.join(F.broadcast(tests), "norm_key").select(
+        "sentence",
+        "tagged",
+        F.lit(1.0).alias("confidence"),
+        F.format_string(
+            "%s\t%s\t1", "sentence", "tagged"
+        ).alias("line"),
+    )
+
+
 # conj label ids (/root/reference/data.py:410-412); index in this list = id
 CONJ_LABEL_NAMES = ["NONE", "CP", "CP_START", "CC", "SEP", "OTHERS"]
 

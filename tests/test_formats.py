@@ -660,3 +660,32 @@ def test_readable_to_allennlp_without_conj_keeps_all_blocks(spark):
     # the rendered line column is the on-disk allennlp row
     row = df.where("confidence_str = '0.91'").collect()[0]
     assert row.line == f"{row.sentence}\t{row.tagged}\t0.91"
+
+
+def test_senseoie_label_pick_and_test_matching(spark):
+    """E1/R/E2 words space-join into the tagged extraction; sentences match
+    the test corpus on a whitespace-stripped lowercase key and take the
+    corpus's canonical pre-[unused1] form (senseoie.py:5-40); unmatched
+    rows drop."""
+    from openie_with_entities_spark.sources.formats import senseoie_to_allennlp
+
+    pairs = spark.createDataFrame(
+        [
+            (["The", "cat", "sat", "on", "the", "mat"],
+             ["E1", "E1", "R", "E2", "E2", "E2"]),
+            (["unmatched", "row", "here"], ["E1", "R", "E2"]),
+        ],
+        "tokens array<string>, labels array<string>",
+    )
+    tests = spark.createDataFrame(
+        [("the CAT sat on the mat [unused1] [unused2] [unused3]",)],
+        "sentence string",
+    )
+    got = senseoie_to_allennlp(pairs, tests).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.sentence == "the CAT sat on the mat"
+    assert r.tagged == (
+        "<arg1> The cat </arg1> <rel> sat </rel> <arg2> on the mat </arg2>"
+    )
+    assert r.line == f"{r.sentence}\t{r.tagged}\t1"
