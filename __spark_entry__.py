@@ -478,6 +478,8 @@ _FIRST_WINDOW = [
     "wire57_scores",
     "kg_khop",
     "kg_degree_topk",
+    "kg_pagerank",
+    "kg_triangles",
     "stream_clean_drain",
     # ← 6 rotating stable sentinels are spliced in here by queries()
     # round-4 new / changed
@@ -486,8 +488,6 @@ _FIRST_WINDOW = [
     "kg_graph_edges",
     "conv_dedup_exact",
     "conv_neardup",
-    "conv_pack",
-    "conv_quality",
     "conv_prepare",
     "docs_heavy_hitters",
     "docs_mixture_sample",
@@ -507,14 +507,16 @@ _FIRST_WINDOW = [
     "media_features",
     # (a3_neardedup, a8_snap_objects, q1_pricing_summary, m4_oie_stage,
     #  m3_conj_split moved to the rotating-sentinel pool in round 5 to make
-    #  room for the new reader/converter entries — stable since rounds 1-2)
+    #  room for the new reader/converter entries — stable since rounds 1-2;
+    #  conv_pack/conv_quality likewise rotated out for kg_pagerank/
+    #  kg_triangles, keeping the window at exactly 50)
     # recorded-value checksums (recorded at sf0.01, cheap, high signal)
     "kg_triples_checksum",
     "docs_simhash_checksum",
     # (e2_carb_pr, e5_conj_eval also rotated to the sentinel pool in r5)
 ]
 
-_N_NEW_R5 = 19  # sentinels splice in after the round-5 block
+_N_NEW_R5 = 21  # sentinels splice in after the round-5 block
 _N_SENTINELS = 6
 
 

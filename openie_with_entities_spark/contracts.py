@@ -2948,6 +2948,94 @@ def q_kg_degree_topk(spark, sf_dir):
     return top_entities_by_degree(edges, topk=5)
 
 
+# Denser topology for the iterative/triadic consumers: triangles ABC, ACD,
+# CDE (mixed edge directions), a pendant chain E→F→A and a self-loop G→G.
+_GRAPH_FIXTURE2 = [
+    ("A", "r1", "B", 1, 1, 0.9),
+    ("B", "r2", "C", 2, 1, 0.8),
+    ("A", "r3", "C", 1, 1, 0.7),
+    ("C", "r4", "D", 3, 2, 0.95),
+    ("D", "r5", "A", 1, 1, 0.6),
+    ("D", "r6", "E", 2, 1, 0.85),
+    ("E", "r7", "C", 1, 1, 0.75),
+    ("E", "r8", "F", 1, 1, 0.5),
+    ("G", "r9", "G", 1, 1, 0.4),
+    ("F", "r10", "A", 2, 1, 0.65),
+]
+
+
+def _graph2_values() -> str:
+    return ", ".join(
+        f"('{s}', '{p}', '{d}', {nm}, {nc}, {mc})"
+        for s, p, d, nm, nc, mc in _GRAPH_FIXTURE2
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    from openie_with_entities_spark.graph import pagerank
+
+    edges = spark.createDataFrame(_GRAPH_FIXTURE2, _GRAPH_DDL)
+    return pagerank(edges, n_iter=3, damping=0.85)
+
+
+def o_kg_pagerank() -> str:
+    # GraphX staticPageRank convention, 3 iterations unrolled (recursive
+    # CTEs can't aggregate over the recursive reference, so each iteration
+    # is its own CTE): rank_k(v) = 0.15 + 0.85 * Σ rank_{k-1}(u)/outdeg(u)
+    iters = "".join(
+        f""",
+        r{k} AS (
+            SELECT n.entity,
+                   0.15 + 0.85 * COALESCE(SUM(rp.rank / o.od), 0.0) AS rank
+            FROM nodes n
+            LEFT JOIN links l ON l.dst = n.entity
+            LEFT JOIN r{k - 1} rp ON rp.entity = l.src
+            LEFT JOIN outd o ON o.src = l.src
+            GROUP BY n.entity)"""
+        for k in (1, 2, 3)
+    )
+    return f"""
+        WITH e(src_entity, predicate, dst_entity, n_mentions, n_convs,
+               max_confidence) AS (VALUES {_graph2_values()}),
+        links AS (SELECT DISTINCT src_entity AS src, dst_entity AS dst
+                  FROM e),
+        nodes AS (SELECT src AS entity FROM links
+                  UNION SELECT dst FROM links),
+        outd AS (SELECT src, COUNT(*) AS od FROM links GROUP BY src),
+        r0 AS (SELECT entity, CAST(1.0 AS DOUBLE) AS rank FROM nodes)
+        {iters}
+        SELECT entity, ROUND(rank, 4) AS rank FROM r3
+    """
+
+
+def q_kg_triangles(spark, sf_dir):
+    from openie_with_entities_spark.graph import triangle_counts
+
+    edges = spark.createDataFrame(_GRAPH_FIXTURE2, _GRAPH_DDL)
+    return triangle_counts(edges)
+
+
+def o_kg_triangles() -> str:
+    return f"""
+        WITH e(src_entity, predicate, dst_entity, n_mentions, n_convs,
+               max_confidence) AS (VALUES {_graph2_values()}),
+        und AS (
+            SELECT DISTINCT LEAST(src_entity, dst_entity) AS a,
+                   GREATEST(src_entity, dst_entity) AS b
+            FROM e WHERE src_entity <> dst_entity),
+        tris AS (
+            SELECT ab.a, ab.b, bc.b AS c
+            FROM und ab
+            JOIN und bc ON bc.a = ab.b
+            JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
+        corners AS (
+            SELECT a AS entity FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris)
+        SELECT entity, COUNT(*) AS n_triangles FROM corners GROUP BY entity
+    """
+
+
 def o_kg_degree_topk() -> str:
     return f"""
         WITH e(src_entity, predicate, dst_entity, n_mentions, n_convs,
@@ -3128,6 +3216,8 @@ def extra_queries() -> dict:
         "wire57_scores": q_wire57_scores,
         "kg_khop": q_kg_khop,
         "kg_degree_topk": q_kg_degree_topk,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
         "stream_clean_drain": q_stream_clean_drain,
     }
 
@@ -3206,6 +3296,8 @@ def extra_oracles() -> dict:
         "wire57_scores": O_WIRE57,
         "kg_khop": o_kg_khop(),
         "kg_degree_topk": o_kg_degree_topk(),
+        "kg_pagerank": o_kg_pagerank(),
+        "kg_triangles": o_kg_triangles(),
         "stream_clean_drain": o_stream_clean_drain(),
     }
     if _S10_N_TRIPLES is not None:

@@ -17,6 +17,16 @@ Scale shape:
   * ``top_entities_by_degree`` — stack both endpoints, one map-combinable
     groupBy, then sort-limit (TakeOrderedAndProject: per-partition top-k,
     no global sort).
+  * ``pagerank`` — classic pregel shape: each iteration is ONE equi-join
+    (ranks ⋈ out-edges on the source id) + ONE map-combinable groupBy on
+    the destination id; the rank table carries (entity, rank) only.
+    ``localCheckpoint`` per iteration cuts lineage so the plan stays flat
+    at any iteration count.  Hot entities skew the dst-side aggregate, but
+    partial aggregation absorbs it (contributions combine map-side).
+  * ``triangle_counts`` — canonical a<b undirected edge set, then the
+    standard two-join wedge-close: (a,b)⋈(b,c) with a<b<c semi-joined
+    against the edge set.  Both joins key on entity ids; the a<b<c
+    ordering means every triangle is generated exactly once.
 """
 
 from __future__ import annotations
@@ -104,3 +114,95 @@ def top_entities_by_degree(
         F.sum("w").alias("degree"),
     )
     return deg.orderBy(F.col("degree").desc(), F.col("entity").asc()).limit(topk)
+
+
+def pagerank(
+    edges: DataFrame, n_iter: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over the materialized graph, GraphX
+    ``staticPageRank`` convention: every node starts at rank 1.0 and each
+    iteration sets ``rank(v) = (1-d) + d * Σ_{u→v} rank(u)/outdeg(u)``
+    (dangling mass leaks — ranks are NOT renormalized to sum to 1, exactly
+    as GraphX's static variant).  Multi-edges collapse to one distinct
+    (src, dst) link per direction; self-loops contribute to their own
+    node.  Emits (entity, rank) rounded to 4 dp for engine-stable
+    comparison.
+
+    Scale shape: the rank table is (entity, double) — orders of magnitude
+    below the edge table; each iteration shuffles only ids+doubles.  A
+    fixed small ``n_iter`` (the production setting — rank orderings
+    stabilize in a handful of iterations) bounds total cost at
+    n_iter × (1 join + 1 agg)."""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    links = (
+        edges.select(
+            F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        links.select(F.col("src").alias("entity"))
+        .unionByName(links.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint()
+    )
+    out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            links.join(ranks, links.src == ranks.entity)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("entity")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("entity", F.round("rank", 4).alias("rank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle participation: (entity, n_triangles) for every
+    entity on ≥1 triangle of the undirected simple graph (self-loops and
+    edge direction discarded).  Canonical a<b edge set, wedges closed by
+    joining (a,b)⋈(b,c) with a<b<c, then a semi-join back onto the edge
+    set for the closing (a,c) edge — each triangle is generated exactly
+    once, then contributes to all three corners."""
+    und = (
+        _undirected(edges)
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = und.select(F.col("a"), F.col("b"))
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("entity"))
+        .unionByName(tris.select(F.col("b").alias("entity")))
+        .unionByName(tris.select(F.col("c").alias("entity")))
+    )
+    return corners.groupBy("entity").agg(F.count("*").alias("n_triangles"))

@@ -120,3 +120,109 @@ def test_degree_topk_unweighted(spark):
     assert [(r.entity, r.degree) for r in rows] == [
         ("E1", 3), ("E3", 3), ("E5", 3),
     ]
+
+
+# --- pagerank / triangle_counts vs sequential twins ------------------------
+
+FIXTURE2 = [
+    ("A", "r1", "B", 1, 1, 0.9),
+    ("B", "r2", "C", 2, 1, 0.8),
+    ("A", "r3", "C", 1, 1, 0.7),
+    ("C", "r4", "D", 3, 2, 0.95),
+    ("D", "r5", "A", 1, 1, 0.6),
+    ("D", "r6", "E", 2, 1, 0.85),
+    ("E", "r7", "C", 1, 1, 0.75),
+    ("E", "r8", "F", 1, 1, 0.5),
+    ("G", "r9", "G", 1, 1, 0.4),
+    ("F", "r10", "A", 2, 1, 0.65),
+]
+
+
+def _pagerank_seq(edge_rows, n_iter=3, d=0.85):
+    links = sorted({(s, t) for s, _, t, *_ in edge_rows})
+    nodes = sorted({n for e in links for n in e})
+    out = {}
+    for s, _ in links:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(n_iter):
+        contrib = {n: 0.0 for n in nodes}
+        for s, t in links:
+            contrib[t] += rank[s] / out[s]
+        rank = {n: (1 - d) + d * contrib[n] for n in nodes}
+    return {n: round(r, 4) for n, r in rank.items()}
+
+
+def _triangles_seq(edge_rows):
+    und = {
+        (min(s, t), max(s, t))
+        for s, _, t, *_ in edge_rows
+        if s != t
+    }
+    counts = {}
+    und_l = sorted(und)
+    for a, b in und_l:
+        for b2, c in und_l:
+            if b2 == b and b < c and (a, c) in und:
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_pagerank_fixture(spark):
+    from openie_with_entities_spark.graph import pagerank
+
+    edges = spark.createDataFrame(FIXTURE2, DDL)
+    got = {r.entity: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert got == _pagerank_seq(FIXTURE2)
+    # dangling G (self-loop only, still has out-edge) keeps rank mass;
+    # every node present exactly once
+    assert sorted(got) == ["A", "B", "C", "D", "E", "F", "G"]
+
+
+def test_pagerank_random_graph_matches_sequential(spark):
+    rng = random.Random(77)
+    nodes = [f"N{i}" for i in range(12)]
+    edge_rows = [
+        (rng.choice(nodes), "r", rng.choice(nodes), 1, 1, 0.5)
+        for _ in range(40)
+    ]
+    edges = spark.createDataFrame(edge_rows, DDL)
+    got = {r.entity: r.rank for r in pagerank_import(edges, n_iter=4).collect()}
+    assert got == _pagerank_seq(edge_rows, n_iter=4)
+
+
+def pagerank_import(edges, **kw):
+    from openie_with_entities_spark.graph import pagerank
+
+    return pagerank(edges, **kw)
+
+
+def test_pagerank_zero_iter_is_uniform_one(spark):
+    edges = spark.createDataFrame(FIXTURE2, DDL)
+    got = {r.entity: r.rank for r in pagerank_import(edges, n_iter=0).collect()}
+    assert set(got.values()) == {1.0}
+
+
+def test_triangle_counts_fixture(spark):
+    from openie_with_entities_spark.graph import triangle_counts
+
+    edges = spark.createDataFrame(FIXTURE2, DDL)
+    got = {r.entity: r.n_triangles for r in triangle_counts(edges).collect()}
+    # triangles ABC, ACD, CDE; self-loop G and pendant chain excluded
+    assert got == {"A": 2, "B": 1, "C": 3, "D": 2, "E": 1}
+    assert got == _triangles_seq(FIXTURE2)
+
+
+def test_triangle_counts_random_graph_matches_sequential(spark):
+    from openie_with_entities_spark.graph import triangle_counts
+
+    rng = random.Random(31)
+    nodes = [f"N{i}" for i in range(10)]
+    edge_rows = [
+        (rng.choice(nodes), "r", rng.choice(nodes), 1, 1, 0.5)
+        for _ in range(35)
+    ]
+    edges = spark.createDataFrame(edge_rows, DDL)
+    got = {r.entity: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == _triangles_seq(edge_rows)
