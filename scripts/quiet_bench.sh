@@ -1,0 +1,25 @@
+#!/bin/bash
+# Probe every 2 min; when 2 consecutive probes are clean (<1.35), run the
+# full bench bracketed by probes. Up to 3 bench attempts; stop early if a
+# bracketed-clean run lands. All probe values logged.
+cd /root/repo
+attempts=0
+while [ $attempts -lt 3 ]; do
+  clean=0
+  for i in $(seq 1 20); do
+    r=$(python scripts/noise_probe.py)
+    echo "probe $(date +%H:%M:%S) $r"
+    if echo "$r" | grep -q CLEAN; then clean=$((clean+1)); else clean=0; fi
+    [ $clean -ge 2 ] && break
+    sleep 110
+  done
+  [ $clean -lt 2 ] && { echo "no quiet window found in ~40min; giving up"; break; }
+  attempts=$((attempts+1))
+  echo "=== bench attempt $attempts start $(date +%H:%M:%S)"
+  python bench.py > /tmp/bench_r5_quiet_$attempts.json.log 2>/dev/null
+  echo "=== bench attempt $attempts done  $(date +%H:%M:%S) rc=$?"
+  post=$(python scripts/noise_probe.py)
+  echo "post-probe $post"
+  tail -1 /tmp/bench_r5_quiet_$attempts.json.log
+  if echo "$post" | grep -q CLEAN; then echo "BRACKETED-CLEAN run $attempts"; break; fi
+done
