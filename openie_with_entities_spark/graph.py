@@ -23,10 +23,13 @@ Scale shape:
     ``localCheckpoint`` per iteration cuts lineage so the plan stays flat
     at any iteration count.  Hot entities skew the dst-side aggregate, but
     partial aggregation absorbs it (contributions combine map-side).
-  * ``triangle_counts`` — canonical a<b undirected edge set, then the
-    standard two-join wedge-close: (a,b)⋈(b,c) with a<b<c semi-joined
-    against the edge set.  Both joins key on entity ids; the a<b<c
-    ordering means every triangle is generated exactly once.
+  * ``triangle_counts`` — degree-oriented (compact-forward) wedge join:
+    each undirected edge is directed from its lower-(degree, id) endpoint
+    to the higher, and wedges open only at the minimum-rank corner.  Wedge
+    volume is Σ outdeg², bounded by O(m·α) (α = arboricity) instead of the
+    naive Σ d(b)² — on a power-law KG entity graph (hot entities are
+    guaranteed) the hub's d² wedge blow-up is designed out while counts
+    stay exactly identical.
 """
 
 from __future__ import annotations
@@ -178,31 +181,59 @@ def pagerank(
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-entity triangle participation: (entity, n_triangles) for every
     entity on ≥1 triangle of the undirected simple graph (self-loops and
-    edge direction discarded).  Canonical a<b edge set, wedges closed by
-    joining (a,b)⋈(b,c) with a<b<c, then a semi-join back onto the edge
-    set for the closing (a,c) edge — each triangle is generated exactly
-    once, then contributes to all three corners."""
+    edge direction discarded).
+
+    Degree-oriented (compact-forward) enumeration: every undirected edge
+    is directed from its lower-rank endpoint to the higher, where rank =
+    (degree, id) — a total order, so the orientation is acyclic.  Each
+    triangle then has exactly ONE corner with two out-edges (its minimum-
+    rank node), so the wedge join (u→v)⋈(u→w) on u with rank(v)<rank(w),
+    semi-joined against the oriented closing edge (v→w), generates every
+    triangle exactly once.  Counts are identical to the naive a<b wedge
+    join; wedge volume drops from Σ d(b)² to Σ outdeg² ≤ O(m·α) because
+    out-degrees are arboricity-bounded — a hub of degree d contributes
+    d²/4 wedges naively but only O(α²) oriented wedges, since almost all
+    of its edges point INTO it (its neighbors rank lower)."""
     und = (
         _undirected(edges)
         .where(F.col("a") < F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    ab = und.select(F.col("a"), F.col("b"))
-    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tris = (
-        ab.join(bc, "b")
-        .join(
-            ac,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-            "left_semi",
-        )
-        .select("a", "b", "c")
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    ).localCheckpoint()
+    o1 = oriented.select(
+        "src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw")
+    )
+    wedges = o1.join(o2, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi").select(
+        F.col("src").alias("u"), "v", "w"
     )
     corners = (
-        tris.select(F.col("a").alias("entity"))
-        .unionByName(tris.select(F.col("b").alias("entity")))
-        .unionByName(tris.select(F.col("c").alias("entity")))
+        tris.select(F.col("u").alias("entity"))
+        .unionByName(tris.select(F.col("v").alias("entity")))
+        .unionByName(tris.select(F.col("w").alias("entity")))
     )
     return corners.groupBy("entity").agg(F.count("*").alias("n_triangles"))

@@ -1,25 +1,15 @@
 #!/usr/bin/env python
-"""Host-steal probe: time a fixed busy-loop single-proc, then 32 concurrent
-procs. On a quiet 32-core box the per-task wall at 32 procs is ~1.0-1.3x the
-single-proc wall; host steal inflates it."""
-import time, multiprocessing as mp
+"""Host-steal probe CLI: time a fixed busy-loop single-proc, then 32
+concurrent procs.  On a quiet 32-core box the per-task wall at 32 procs is
+~1.0-1.3x the single-proc wall; host steal inflates it.  Logic lives in
+``openie_with_entities_spark.noise`` (shared with the test suite's
+steal-aware timing bounds)."""
+import os
+import sys
 
-def burn(n=4_000_000):
-    s = 0
-    for i in range(n):
-        s += i * i
-    return s
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def timed(f):
-    t = time.perf_counter(); f(); return time.perf_counter() - t
+from openie_with_entities_spark.noise import measure_steal  # noqa: E402
 
 if __name__ == "__main__":
-    single = min(timed(burn) for _ in range(3))
-    t0 = time.perf_counter()
-    with mp.Pool(32) as p:
-        p.map(burn, [4_000_000] * 64)  # 2 waves of 32
-    wall = time.perf_counter() - t0
-    per_task = wall / 2
-    ratio = per_task / single
-    print(f"single={single:.3f}s per_wave={per_task:.3f}s ratio={ratio:.2f} "
-          f"{'CLEAN' if ratio < 1.6 else 'NOISY'}")
+    print(measure_steal())

@@ -226,3 +226,49 @@ def test_triangle_counts_random_graph_matches_sequential(spark):
     edges = spark.createDataFrame(edge_rows, DDL)
     got = {r.entity: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == _triangles_seq(edge_rows)
+
+
+def test_triangle_counts_hub_skew(spark, steal_ratio):
+    """Power-law skew defense: one hub of degree 20,000 (a guaranteed
+    shape on a KG entity graph).  The naive a<b wedge join generates
+    C(20000,2) ≈ 2×10⁸ wedges at the hub; degree orientation points every
+    hub edge INTO the hub (its neighbors all rank lower), so the hub opens
+    zero wedges and the job stays seconds, not minutes.  Counts are
+    analytic: hub H + leaves L0..L19999, chain edges L_i–L_{i+1} for
+    i<1000 — each chain edge closes exactly one triangle with H."""
+    import time
+
+    from openie_with_entities_spark.graph import triangle_counts
+    from openie_with_entities_spark.noise import CLEAN_THRESHOLD
+
+    n_leaves, n_chain = 20_000, 1_000
+    star = spark.range(n_leaves).selectExpr(
+        "'H' AS src_entity",
+        "'r' AS predicate",
+        "concat('L', id) AS dst_entity",
+        "1L AS n_mentions",
+        "1L AS n_convs",
+        "0.5 AS max_confidence",
+    )
+    chain = spark.range(n_chain).selectExpr(
+        "concat('L', id) AS src_entity",
+        "'r' AS predicate",
+        "concat('L', id + 1) AS dst_entity",
+        "1L AS n_mentions",
+        "1L AS n_convs",
+        "0.5 AS max_confidence",
+    )
+    t0 = time.monotonic()
+    got = {
+        r.entity: r.n_triangles
+        for r in triangle_counts(star.unionByName(chain)).collect()
+    }
+    wall = time.monotonic() - t0
+    expected = {"H": n_chain, "L0": 1, f"L{n_chain}": 1}
+    expected.update({f"L{i}": 2 for i in range(1, n_chain)})
+    assert got == expected
+    bound = 60.0 * (steal_ratio if steal_ratio > CLEAN_THRESHOLD else 1.0)
+    assert wall < bound, (
+        f"hub-skew triangles too slow: {wall:.1f}s (bound {bound:.0f}s at "
+        f"steal ratio {steal_ratio:.2f})"
+    )
