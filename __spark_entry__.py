@@ -456,9 +456,11 @@ def _media_features(spark, sf_dir):
 # independently-witnessed sample — round-4 advisor item), then prior-round
 # and heavier operators. The full set is still checked every round by
 # scripts/check_contracts.py (committed evidence).
-_ROUND = 5  # bump when a new round starts; drives the sentinel rotation
+_ROUND = 6  # bump when a new round starts; drives the sentinel rotation
 
 _FIRST_WINDOW = [
+    # round-6 new
+    "e2_carb_sentences",
     # round-5 new
     "reader_clausie",
     "reader_benchmark_gold",
@@ -490,7 +492,8 @@ _FIRST_WINDOW = [
     "conv_neardup",
     "conv_prepare",
     "docs_heavy_hitters",
-    "docs_mixture_sample",
+    # (docs_mixture_sample rotated to the sentinel pool in round 6 to make
+    #  room for e2_carb_sentences — stable + witnessed in r4 and r5)
     "docs_unigram_logprob",
     "s10_salted_resume",
     "docs_tfidf_topk",
@@ -516,7 +519,21 @@ _FIRST_WINDOW = [
     # (e2_carb_pr, e5_conj_eval also rotated to the sentinel pool in r5)
 ]
 
-_N_NEW_R5 = 21  # sentinels splice in after the round-5 block
+# PERMANENTLY pinned inside the driver-witnessed window: the checksum twins
+# are the cheapest high-signal sentinels the driver sees (they carry the
+# hash evidence for the rows-only kg_triples/docs_simhash entries), and the
+# checkpoint-resume contracts are the north rule's resumability witness.
+# queries() asserts these stay within the first _WINDOW_SIZE entries — a
+# future round that adds new entries must rotate something ELSE out.
+_PINNED = [
+    "kg_triples_checksum",
+    "docs_simhash_checksum",
+    "s10_checkpoint_resume",
+    "s10_salted_resume",
+]
+_WINDOW_SIZE = 50
+
+_N_NEW = 22  # sentinels splice in after the round-6 + round-5 blocks
 _N_SENTINELS = 6
 
 
@@ -575,9 +592,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # fail loudly: a typo here silently shrinks the window
         raise KeyError(f"_FIRST_WINDOW names not registered: {missing}")
     window = (
-        _FIRST_WINDOW[:_N_NEW_R5]
+        _FIRST_WINDOW[:_N_NEW]
         + _rotating_sentinels(list(base))
-        + _FIRST_WINDOW[_N_NEW_R5:]
+        + _FIRST_WINDOW[_N_NEW:]
+    )
+    assert len(window) == _WINDOW_SIZE, (
+        f"driver window is {len(window)}, not {_WINDOW_SIZE}: rotate a "
+        "stable entry to the sentinel pool when adding new ones"
+    )
+    assert all(p in window for p in _PINNED), (
+        "a permanently-pinned sentinel fell out of the driver window"
     )
     ordered = {name: base.pop(name) for name in window}
     ordered.update(base)

@@ -1083,6 +1083,54 @@ O_E2_SS = """
 
 
 # --------------------------------------------------------------------------
+# E2c — per-sentence CaRB breakdown (/root/reference/carb/single.py:25-96:
+# per-sentence compare + optimal-confidence stamp-back; engine form keeps
+# recall denominators per-sentence).  Hand derivation:
+#   s1: gold (Ada; founded; Acme); preds exact@0.9 + spurious@0.4.
+#     zero-threshold (cutoff 0.4, both preds): greedy 1-1 precision
+#     (1+0-credit pairs, 1 gold) → pn=1, pd=2 → 0.5; recall per-gold max
+#     → 1.0; f1 = 2·0.5·1/1.5 = 0.6667.
+#     cutoff 0.9 (exact only): p=1, r=1, f1=1 → optimal_f1 1.0 @ conf 0.9.
+#   s2: gold only, no preds → precision 1.0 (empty-denominator
+#     convention), recall 0, optimal_conf NULL.
+#   s3: prediction-only → dropped (compare iterates gold).
+# --------------------------------------------------------------------------
+
+
+def q_e2_carb_sentences(spark, sf_dir):
+    from openie_with_entities_spark.evaluate import carb_sentence_scores
+
+    gold = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 1.0),
+            ("s2", "Eve", "visited", "Paris", 1.0),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 0.9),
+            ("s1", "Ada", "visited", "Paris", 0.4),
+            ("s3", "Bob", "likes", "tea", 0.8),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    return carb_sentence_scores(gold, pred)
+
+
+O_E2_SENTENCES = """
+    SELECT sent_key, CAST(n_gold AS BIGINT) AS n_gold,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           "precision", recall, f1, optimal_f1, optimal_conf
+    FROM (VALUES
+        ('s1', 1, 2, 0.5, 1.0, 0.6667, 1.0, 0.9),
+        ('s2', 1, 0, 1.0, 0.0, 0.0, 0.0, CAST(NULL AS DOUBLE))
+    ) AS t(sent_key, n_gold, n_pred, "precision", recall, f1,
+           optimal_f1, optimal_conf)
+"""
+
+
+# --------------------------------------------------------------------------
 # E6 — F1 / trapezoid-AUC math over a PR-curve fixture (native twins)
 # --------------------------------------------------------------------------
 
@@ -3219,6 +3267,7 @@ def extra_queries() -> dict:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "stream_clean_drain": q_stream_clean_drain,
+        "e2_carb_sentences": q_e2_carb_sentences,
     }
 
 
@@ -3299,6 +3348,7 @@ def extra_oracles() -> dict:
         "kg_pagerank": o_kg_pagerank(),
         "kg_triangles": o_kg_triangles(),
         "stream_clean_drain": o_stream_clean_drain(),
+        "e2_carb_sentences": O_E2_SENTENCES,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

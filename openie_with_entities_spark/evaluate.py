@@ -500,6 +500,104 @@ def sentence_contributions(
     return out
 
 
+def carb_sentence_scores(
+    gold_df: DataFrame,
+    pred_df: DataFrame,
+    key_cols: list[str] | None = None,
+    matcher: str | None = None,
+    strategy: str = "sm",
+) -> DataFrame:
+    """Per-sentence CaRB breakdown for error analysis — the engine's
+    surface for the reference's per-sentence CaRB driver
+    (/root/reference/carb/single.py:25-96: run the compare one sentence's
+    extractions at a time and record that sentence's optimal-F1 point,
+    then stamp its optimal confidence back onto every extraction).
+
+    One row per GOLD sentence:
+    (key_cols…, n_gold, n_pred, precision, recall, f1, optimal_f1,
+    optimal_conf) where precision/recall/f1 are the zero-threshold scores
+    (every prediction kept — carb.py's confidence=0 point) and
+    optimal_f1/optimal_conf is the best F1 over that sentence's own
+    confidence cutoffs plus the lowest cutoff achieving it (the value
+    single.py:63-86 writes back as the new confidence).  Sentences with no
+    predictions score precision 1.0 (empty-denominator convention, as
+    ``carb_pr``), recall 0, optimal_conf NULL.  Prediction-only sentences
+    are ignored (compare iterates gold, carb.py:193-199).
+
+    Divergence from single.py, by design: recall denominators cover only
+    THIS sentence's gold rows (the error-analysis form), not the full
+    benchmark — single.py's per-call ``b.compare`` carries every other
+    gold sentence as unmatched recall mass, which makes its per-sentence
+    numbers depend on corpus size.
+
+    Same distribution shape as ``carb_pr``: one applyInPandas over the
+    sentence key; the quadratic gold×pred match never leaves the group."""
+    key_cols = key_cols or ["sent_key"]
+    match_fn = get_matcher(matcher)
+    if strategy not in ("sm", "ss"):
+        raise ValueError(f"strategy must be 'sm' or 'ss', got {strategy!r}")
+    if "confidence" not in pred_df.columns:
+        pred_df = pred_df.withColumn("confidence", F.lit(1.0))
+    pred_df = pred_df.withColumn("confidence", F.round("confidence", 4))
+
+    def fold(g: pd.DataFrame) -> list[Ext]:
+        out = []
+        for r in g.itertuples():
+            args = [r.arg1, r.arg2]
+            extra = getattr(r, "extra_args", None)
+            if extra is not None and len(extra):
+                args += list(extra)
+            out.append(Ext(r.rel, args, getattr(r, "confidence", 1.0)))
+        return out
+
+    gold_marked = gold_df.withColumn("_side", F.lit("g"))
+    pred_marked = pred_df.withColumn("_side", F.lit("p"))
+    both = gold_marked.unionByName(pred_marked, allowMissingColumns=True)
+    key_types = {f.name: f.dataType.simpleString() for f in gold_df.schema.fields}
+    schema = (
+        ", ".join(f"{c} {key_types[c]}" for c in key_cols)
+        + ", n_gold long, n_pred long, precision double, recall double, "
+        "f1 double, optimal_f1 double, optimal_conf double"
+    )
+    empty_cols = key_cols + [
+        "n_gold", "n_pred", "precision", "recall", "f1",
+        "optimal_f1", "optimal_conf",
+    ]
+
+    def score_group(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gold = fold(pdf[pdf["_side"] == "g"])
+        preds = fold(pdf[pdf["_side"] == "p"])
+        if not gold:
+            return pd.DataFrame(columns=empty_cols)
+        row = dict(zip(key_cols, keys))
+        row["n_gold"], row["n_pred"] = len(gold), len(preds)
+        thresholds = sorted({p.confidence for p in preds})
+        if not thresholds:
+            row.update(
+                precision=1.0, recall=0.0, f1=0.0,
+                optimal_f1=0.0, optimal_conf=None,
+            )
+            return pd.DataFrame([row])
+        contrib = sentence_contributions(
+            gold, preds, thresholds, matcher=match_fn, strategy=strategy
+        )
+        precs = np.where(contrib[:, 1] > 0, contrib[:, 0] / contrib[:, 1], 1.0)
+        recs = np.where(contrib[:, 3] > 0, contrib[:, 2] / contrib[:, 3], 0.0)
+        denom = precs + recs
+        f1s = np.where(denom > 0, 2 * precs * recs / np.where(denom > 0, denom, 1.0), 0.0)
+        best = int(np.argmax(f1s))  # ties → lowest cutoff, np.argmax-first
+        row.update(
+            precision=round(float(precs[0]), 4),
+            recall=round(float(recs[0]), 4),
+            f1=round(float(f1s[0]), 4),
+            optimal_f1=round(float(f1s[best]), 4),
+            optimal_conf=float(thresholds[best]),
+        )
+        return pd.DataFrame([row])
+
+    return both.groupBy(*key_cols).applyInPandas(score_group, schema)
+
+
 @dataclass
 class CarbResult:
     auc: float

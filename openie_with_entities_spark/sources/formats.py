@@ -319,11 +319,22 @@ def readable_to_allennlp(
 
     ``conj`` (optional) is the split→original mapping of a conj file —
     (orig_sentence, split_sentence) rows, e.g. ``read_conj_blocks(...)
-    .where("split_sentence <> orig_sentence")``. As in the reference,
-    blocks whose sentence is an ORIGINAL with splits are dropped
-    (their extractions come from the splits) and split sentences are
-    rewritten to their original. The mapping is a broadcast join — the
-    reference holds it fully in memory.
+    .where("split_sentence <> orig_sentence")``. Blocks whose sentence is
+    an ORIGINAL with splits are dropped (their extractions come from the
+    splits) and split sentences are rewritten to their original. The
+    mapping is a broadcast join — the reference holds it fully in memory.
+
+    Two knowing divergences from ``oie_to_allennlp.py:22-40`` on malformed
+    conj files: (1) the reference maps a block whose only "split" equals
+    the original (``conj_mapping[orig] = orig``) and therefore DROPS that
+    sentence; ``read_conj_blocks``'s coalesced output cannot distinguish
+    that case from a splitless block (which the reference keeps), so with
+    the recommended ``split <> orig`` filter this keeps both. (2) a split
+    sentence listed under two originals keeps the reference's LAST block
+    in file order (dict overwrite); the mapping DataFrame carries no file
+    order, so this keeps one deterministic original (max). Well-formed
+    conj output (one block per original, splits ≠ original, no shared
+    splits) round-trips identically.
 
     Returns (sentence, tagged, confidence_str) plus ``line`` — the
     on-disk ``sent\\t<arg1>…\\tconf`` row."""
@@ -332,8 +343,13 @@ def readable_to_allennlp(
         "block_id", F.col("value").alias("sentence")
     )
     if conj is not None:
+        # one original per split (divergence (2) in the docstring): a
+        # shared split would otherwise duplicate its extraction rows
+        # through the left join below
         mapping = F.broadcast(
-            conj.select("orig_sentence", "split_sentence").distinct()
+            conj.groupBy("split_sentence").agg(
+                F.max("orig_sentence").alias("orig_sentence")
+            )
         )
         originals = F.broadcast(
             conj.select(F.col("orig_sentence").alias("sentence")).distinct()

@@ -281,3 +281,78 @@ class TestBertScoreSeam:
             assert ev.get_matcher("bertscore") is ev.bert_score_match
         finally:
             ev.set_bert_scorer(None)
+
+
+class TestCarbSentenceScores:
+    """Per-sentence CaRB breakdown (/root/reference/carb/single.py:25-96)."""
+
+    def _frames(self, spark):
+        ddl = (
+            "sent_key string, arg1 string, rel string, arg2 string, "
+            "confidence double"
+        )
+        gold = spark.createDataFrame(
+            [
+                ("s1", "Ada", "founded", "Acme", 1.0),
+                ("s2", "Eve", "visited", "Paris", 1.0),
+            ],
+            ddl,
+        )
+        pred = spark.createDataFrame(
+            [
+                ("s1", "Ada", "founded", "Acme", 0.9),
+                ("s1", "Ada", "visited", "Paris", 0.4),
+                ("s3", "Bob", "likes", "tea", 0.8),
+            ],
+            ddl,
+        )
+        return gold, pred
+
+    def test_breakdown_fixture(self, spark):
+        from openie_with_entities_spark.evaluate import carb_sentence_scores
+
+        gold, pred = self._frames(spark)
+        rows = {r.sent_key: r for r in carb_sentence_scores(gold, pred).collect()}
+        # prediction-only s3 dropped; one row per gold sentence
+        assert sorted(rows) == ["s1", "s2"]
+        s1 = rows["s1"]
+        assert (s1.n_gold, s1.n_pred) == (1, 2)
+        assert (s1.precision, s1.recall, s1.f1) == (0.5, 1.0, 0.6667)
+        # optimal point: cutoff 0.9 keeps only the exact match → f1 1.0
+        assert (s1.optimal_f1, s1.optimal_conf) == (1.0, 0.9)
+        s2 = rows["s2"]
+        assert (s2.n_gold, s2.n_pred) == (1, 0)
+        assert (s2.precision, s2.recall, s2.f1) == (1.0, 0.0, 0.0)
+        assert s2.optimal_f1 == 0.0 and s2.optimal_conf is None
+
+    def test_corpus_f1_consistent_with_carb_pr(self, spark):
+        """Summing the per-sentence zero-threshold numerators reproduces
+        carb_pr's zero-conf corpus point on the same fixture."""
+        from openie_with_entities_spark.evaluate import carb_pr
+
+        gold, pred = self._frames(spark)
+        # carb_pr on gold-keyed sentences only (s3 ignored there too)
+        r = carb_pr(gold, pred)
+        assert (r.zero_conf_precision, r.zero_conf_recall) == (0.5, 0.5)
+
+    def test_strategy_and_validation(self, spark):
+        from openie_with_entities_spark.evaluate import carb_sentence_scores
+
+        gold = spark.createDataFrame(
+            [
+                ("s1", "Ada", "founded", "Acme", 1.0),
+                ("s1", "Ada", "founded", "Acme Corp", 1.0),
+            ],
+            "sent_key string, arg1 string, rel string, arg2 string, "
+            "confidence double",
+        )
+        pred = spark.createDataFrame(
+            [("s1", "Ada", "founded", "Acme", 0.9)],
+            "sent_key string, arg1 string, rel string, arg2 string, "
+            "confidence double",
+        )
+        sm = carb_sentence_scores(gold, pred).collect()[0]
+        ss = carb_sentence_scores(gold, pred, strategy="ss").collect()[0]
+        assert sm.recall == 0.875 and ss.recall == 0.5
+        with pytest.raises(ValueError):
+            carb_sentence_scores(gold, pred, strategy="bogus")

@@ -652,6 +652,28 @@ def test_readable_to_allennlp_conj_mapping_and_field_parse(spark):
     ])
 
 
+def test_readable_to_allennlp_shared_split_keeps_one_original(spark):
+    """A split sentence listed under two originals keeps exactly one
+    deterministic original (max — see the docstring's divergence (2):
+    the reference's dict overwrite keeps the last in file order) instead
+    of duplicating extraction rows through the mapping join."""
+    from openie_with_entities_spark.sources.formats import readable_to_allennlp
+
+    conj = spark.createDataFrame(
+        [
+            ("orig A", 0, "the cat sat on the mat"),
+            ("orig B", 0, "the cat sat on the mat"),
+        ],
+        "orig_sentence string, split_idx int, split_sentence string",
+    )
+    rows = readable_to_allennlp(
+        spark, os.path.join(_RFX, "preds.txt"), conj=conj
+    ).collect()
+    cat_rows = [r for r in rows if r.sentence in ("orig A", "orig B")]
+    assert len(cat_rows) == 2  # the two cat extractions, not four
+    assert {r.sentence for r in cat_rows} == {"orig B"}
+
+
 def test_readable_to_allennlp_without_conj_keeps_all_blocks(spark):
     from openie_with_entities_spark.sources.formats import readable_to_allennlp
 

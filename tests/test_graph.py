@@ -272,3 +272,44 @@ def test_triangle_counts_hub_skew(spark, steal_ratio):
         f"hub-skew triangles too slow: {wall:.1f}s (bound {bound:.0f}s at "
         f"steal ratio {steal_ratio:.2f})"
     )
+
+
+def test_pagerank_tolerance_converges_to_fixed_point(spark, caplog):
+    """runUntilConvergence twin: at eps=1e-6 the converged ranks equal a
+    deep fixed-iteration run at the 4-dp output rounding, and the
+    iteration count is logged (graph.py's driver-side delta check)."""
+    import logging
+
+    from openie_with_entities_spark.graph import pagerank
+
+    edges = spark.createDataFrame(FIXTURE2, DDL)
+    with caplog.at_level(logging.INFO, logger="openie_with_entities_spark.graph"):
+        converged = {
+            r.entity: r.rank for r in pagerank(edges, tol=1e-6).collect()
+        }
+    deep = {r.entity: r.rank for r in pagerank(edges, n_iter=120).collect()}
+    assert converged == deep
+    assert any("pagerank converged" in m for m in caplog.messages)
+    # tol validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(edges, tol=0.0)
+
+
+def test_pagerank_tolerance_respects_max_iter(spark):
+    from openie_with_entities_spark.graph import pagerank
+
+    edges = spark.createDataFrame(FIXTURE2, DDL)
+    # max_iter=2 cuts off before convergence → equals the 2-iter fixed run
+    # (compared engine-vs-engine: the sequential twin can land on the other
+    # side of a 4-dp rounding boundary from Spark's summation order)
+    capped = {
+        r.entity: r.rank
+        for r in pagerank(edges, tol=1e-12, max_iter=2).collect()
+    }
+    fixed2 = {r.entity: r.rank for r in pagerank(edges, n_iter=2).collect()}
+    assert capped == fixed2
+    seq = _pagerank_seq(FIXTURE2, n_iter=2)
+    assert capped.keys() == seq.keys()
+    assert all(abs(capped[n] - seq[n]) <= 1e-4 for n in seq)
