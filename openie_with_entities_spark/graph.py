@@ -264,9 +264,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     tris = wedges.join(closing, ["v", "w"], "left_semi").select(
         F.col("src").alias("u"), "v", "w"
     )
-    corners = (
-        tris.select(F.col("u").alias("entity"))
-        .unionByName(tris.select(F.col("v").alias("entity")))
-        .unionByName(tris.select(F.col("w").alias("entity")))
+    # one explode, not a 3-way union of corner projections: the union form
+    # plants the wedge join THREE times in the plan (once per branch),
+    # tripling the most expensive stage unless exchange reuse saves it
+    corners = tris.select(
+        F.explode(F.array("u", "v", "w")).alias("entity")
     )
     return corners.groupBy("entity").agg(F.count("*").alias("n_triangles"))

@@ -72,9 +72,20 @@ def _edges(spark):
 
 
 def capture_pagerank(spark) -> None:
+    from unittest.mock import patch
+
     from openie_with_entities_spark import graph
 
-    section("pagerank (1 iteration, executed)", executed(graph.pagerank(_edges(spark), n_iter=1)))
+    # production pagerank localCheckpoints every iteration, so its plan is
+    # "Scan ExistingRDD" — truncated lineage IS the scale property. To show
+    # the per-iteration shape, capture one iteration with the checkpoint
+    # disabled (identity), exactly the plan each iteration executes.
+    # NB: patch the INSTANCE class (pyspark 4's classic DataFrame subclass
+    # overrides localCheckpoint; patching pyspark.sql.DataFrame is a no-op).
+    cls = type(_edges(spark))
+    with patch.object(cls, "localCheckpoint", lambda self, *a, **k: self):
+        df = graph.pagerank(_edges(spark), n_iter=1)
+        section("pagerank (1 iteration, checkpoint disabled for capture)", executed(df))
 
 
 def capture_khop(spark) -> None:
