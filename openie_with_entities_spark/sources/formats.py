@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.render import py_float_str
+
 OIE_LABEL_NAMES = ["NONE", "ARG1", "REL", "ARG2", "LOC", "TYPE"]
 
 
@@ -72,7 +74,7 @@ def to_allennlp_lines(triples: DataFrame, sentence_col: str = "sentence") -> Dat
             F.col("arg1"),
             F.col("rel"),
             F.col("arg2"),
-            F.col("confidence").cast("string"),
+            py_float_str(F.col("confidence")),  # Python str(float) parity
         ).alias("value")
     )
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.render import py_float_str
+
 _PRED_COLS = ["sentence", "arg1", "rel", "arg2", "extra_args", "confidence"]
 
 
@@ -199,7 +201,16 @@ def read_clausie(spark: SparkSession, path: str) -> DataFrame:
     then ``last(sentence) IGNORE NULLS`` over the per-file line order —
     one window shuffle keyed by file, so a directory of ClausIE files
     parallelizes per-file instead of serializing through the driver the
-    way the reference's ``readlines()`` walk does."""
+    way the reference's ``readlines()`` walk does.
+
+    In-file order caveat (same invariant as formats._numbered_blocks):
+    ``monotonically_increasing_id`` is ordered by partition INDEX, which
+    tracks within-file byte order only while each file maps to a single
+    scan split. One ClausIE file larger than
+    ``spark.sql.files.maxPartitionBytes`` (default 128 MB — far above any
+    real ClausIE output) would rely on Spark's size-descending split
+    packing keeping index order, an implementation detail. For such files,
+    split them on sentence boundaries first or raise maxPartitionBytes."""
     raw = spark.read.text(path).select(
         F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_line"),
@@ -253,15 +264,18 @@ def to_tabbed_lines(preds: DataFrame) -> DataFrame:
     """The reader family's tabbed SINK (oieReader.py:33-43 get_tabbed /
     output_tabbed): one ``sent \\t conf \\t rel \\t arg1 \\t arg2 [\\t …]``
     line per extraction from the uniform prediction schema.
-    :func:`read_tabbed` is its exact inverse. Confidence renders through a
-    double→string cast — Python ``str(float)`` shortest-repr, matching the
-    reference's ``map(str, …)``."""
+    :func:`read_tabbed` is its exact inverse. Confidence renders through
+    :func:`~openie_with_entities_spark.functions.render.py_float_str`,
+    which matches the reference's Python ``str(float)`` / ``map(str, …)``
+    including the sub-1e-3 band where a raw double→string cast would go
+    scientific (``1.0E-4``) while Python stays positional (``0.0001``) —
+    see render.py for the one remaining digit-level caveat ≥ 1e16."""
     args = F.concat(F.array("arg1", "arg2"), F.col("extra_args"))
     return preds.select(
         F.concat_ws(
             "\t",
             "sentence",
-            F.col("confidence").cast("string"),
+            py_float_str(F.col("confidence")),
             "rel",
             F.array_join(args, "\t"),
         ).alias("value")
