@@ -56,8 +56,19 @@ def _spans(tokens: list[str]) -> list[tuple[int, int]]:
     return spans
 
 
-def detect_mentions(triples: DataFrame) -> DataFrame:
-    """triples → one row per (arg, mention span)."""
+def detect_mentions(triples: DataFrame, span_fn=None) -> DataFrame:
+    """triples → one row per (arg, mention span).
+
+    ``span_fn(tokens) -> [(begin_word, end_word)]`` is the NER seam: the
+    default is the deterministic capitalized-run detector; a real backend
+    (flair SequenceTagger / spaCy pipeline, the reference's data.py:28,80)
+    passes a callable that tags the batch's texts and maps entity char
+    offsets back to word spans — tests/test_real_models.py exercises both
+    when the libraries are present. The callable is pickled into the
+    mapInPandas closure, so heavyweight models should lazy-init a
+    per-worker singleton inside it (extract.neural.load_backend pattern)
+    rather than capture the model object."""
+    span_fn = span_fn or _spans
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,7 +82,7 @@ def detect_mentions(triples: DataFrame) -> DataFrame:
                 for arg_pos, text in ((1, row.arg1), (2, row.arg2)):
                     tokens = text.split()
                     taken_until = -1
-                    for (s, e) in _spans(tokens):
+                    for (s, e) in span_fn(tokens):
                         if s <= taken_until:  # overlap skip (contract)
                             continue
                         taken_until = e

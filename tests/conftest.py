@@ -21,3 +21,11 @@ def steal_ratio():
     r = measure_steal(n=2_000_000, procs=32, waves=1, repeats=2)
     print(f"\n[steal probe] {r}")
     return r.ratio
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "real_models: opt-in real-backend smoke tests (torch/flair/spaCy; "
+        "skipped automatically when the libraries are absent)",
+    )
