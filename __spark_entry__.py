@@ -461,6 +461,7 @@ _ROUND = 6  # bump when a new round starts; drives the sentinel rotation
 _FIRST_WINDOW = [
     # round-6 new
     "e2_carb_sentences",
+    "e2_stamp_optimal",
     # round-5 new
     "reader_clausie",
     "reader_benchmark_gold",
@@ -491,9 +492,9 @@ _FIRST_WINDOW = [
     "conv_dedup_exact",
     "conv_neardup",
     "conv_prepare",
-    "docs_heavy_hitters",
-    # (docs_mixture_sample rotated to the sentinel pool in round 6 to make
-    #  room for e2_carb_sentences — stable + witnessed in r4 and r5)
+    # (docs_mixture_sample and docs_heavy_hitters rotated to the sentinel
+    #  pool in round 6 to make room for e2_carb_sentences and
+    #  e2_stamp_optimal — both stable + witnessed in r4 and r5)
     "docs_unigram_logprob",
     "s10_salted_resume",
     "docs_tfidf_topk",
@@ -533,7 +534,7 @@ _PINNED = [
 ]
 _WINDOW_SIZE = 50
 
-_N_NEW = 22  # sentinels splice in after the round-6 + round-5 blocks
+_N_NEW = 23  # sentinels splice in after the round-6 + round-5 blocks
 _N_SENTINELS = 6
 
 

@@ -1118,6 +1118,41 @@ def q_e2_carb_sentences(spark, sf_dir):
     return carb_sentence_scores(gold, pred)
 
 
+def q_e2_stamp_optimal(spark, sf_dir):
+    """single.py:80-89 stamp-back on the e2_carb_sentences fixture: s1's
+    optimal confidence 0.9 overwrites both its predictions (0.9 and 0.4);
+    pred-only s3 stamps the degenerate 0.0."""
+    from openie_with_entities_spark.evaluate import stamp_optimal_confidence
+
+    gold = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 1.0),
+            ("s2", "Eve", "visited", "Paris", 1.0),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("s1", "Ada", "founded", "Acme", 0.9),
+            ("s1", "Ada", "visited", "Paris", 0.4),
+            ("s3", "Bob", "likes", "tea", 0.8),
+        ],
+        "sent_key string, arg1 string, rel string, arg2 string, confidence double",
+    )
+    return stamp_optimal_confidence(gold, pred).select(
+        "sent_key", "arg1", "rel", "arg2", "confidence"
+    )
+
+
+O_E2_STAMP = """
+    SELECT * FROM (VALUES
+        ('s1', 'Ada', 'founded', 'Acme', 0.9),
+        ('s1', 'Ada', 'visited', 'Paris', 0.9),
+        ('s3', 'Bob', 'likes', 'tea', 0.0)
+    ) AS t(sent_key, arg1, rel, arg2, confidence)
+"""
+
+
 O_E2_SENTENCES = """
     SELECT sent_key, CAST(n_gold AS BIGINT) AS n_gold,
            CAST(n_pred AS BIGINT) AS n_pred,
@@ -3268,6 +3303,7 @@ def extra_queries() -> dict:
         "kg_triangles": q_kg_triangles,
         "stream_clean_drain": q_stream_clean_drain,
         "e2_carb_sentences": q_e2_carb_sentences,
+        "e2_stamp_optimal": q_e2_stamp_optimal,
     }
 
 
@@ -3349,6 +3385,7 @@ def extra_oracles() -> dict:
         "kg_triangles": o_kg_triangles(),
         "stream_clean_drain": o_stream_clean_drain(),
         "e2_carb_sentences": O_E2_SENTENCES,
+        "e2_stamp_optimal": O_E2_STAMP,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -598,6 +598,40 @@ def carb_sentence_scores(
     return both.groupBy(*key_cols).applyInPandas(score_group, schema)
 
 
+def stamp_optimal_confidence(
+    gold_df: DataFrame,
+    pred_df: DataFrame,
+    key_cols: list[str] | None = None,
+    matcher: str | None = None,
+    strategy: str = "sm",
+) -> DataFrame:
+    """The live OUTPUT of the reference's per-sentence CaRB driver
+    (/root/reference/carb/single.py:80-89): every extraction's confidence
+    is replaced by its sentence's optimal confidence (the lowest cutoff
+    achieving that sentence's best F1, from
+    :func:`carb_sentence_scores`), so a downstream consumer can threshold
+    uniformly at any value and keep exactly each sentence's optimal set.
+
+    Predictions whose sentence has no gold (single.py feeds them through
+    ``b.compare`` too, where they score a degenerate all-zero curve) are
+    stamped 0.0 — the engine's explicit convention for the same
+    degenerate case. The stamp join broadcasts the per-sentence scores:
+    one row per gold sentence, orders of magnitude below the extraction
+    table."""
+    key_cols = key_cols or ["sent_key"]
+    scores = carb_sentence_scores(
+        gold_df, pred_df, key_cols, matcher=matcher, strategy=strategy
+    )
+    stamp = F.broadcast(
+        scores.select(*key_cols, F.col("optimal_conf").alias("_opt"))
+    )
+    return (
+        pred_df.join(stamp, key_cols, "left")
+        .withColumn("confidence", F.coalesce("_opt", F.lit(0.0)))
+        .drop("_opt")
+    )
+
+
 @dataclass
 class CarbResult:
     auc: float

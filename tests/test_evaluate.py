@@ -356,3 +356,21 @@ class TestCarbSentenceScores:
         assert sm.recall == 0.875 and ss.recall == 0.5
         with pytest.raises(ValueError):
             carb_sentence_scores(gold, pred, strategy="bogus")
+
+    def test_stamp_optimal_confidence(self, spark):
+        """single.py:80-89 live output: each prediction's confidence is
+        replaced by its sentence's optimal confidence; pred-only sentences
+        stamp the degenerate 0.0."""
+        from openie_with_entities_spark.evaluate import stamp_optimal_confidence
+
+        gold, pred = self._frames(spark)
+        rows = {
+            (r.sent_key, r.arg1, r.rel, r.arg2): r.confidence
+            for r in stamp_optimal_confidence(gold, pred).collect()
+        }
+        assert rows == {
+            ("s1", "Ada", "founded", "Acme"): 0.9,
+            ("s1", "Ada", "visited", "Paris"): 0.9,
+            ("s3", "Bob", "likes", "tea"): 0.0,
+        }
+
