@@ -1,8 +1,13 @@
 #!/bin/bash
-# Probe every 2 min; when 2 consecutive probes are clean (<1.35), run the
-# full bench bracketed by probes. Up to 3 bench attempts; stop early if a
-# bracketed-clean run lands. All probe values logged.
+# Probe every ~2 min; when 2 consecutive probes are clean (<1.35), run the
+# bench command bracketed by probes. Up to 3 bench attempts; stop early if
+# a bracketed-clean run lands. All probe values logged.
+#
+# Usage: scripts/quiet_bench.sh [bench command...]   (default: python bench.py)
+# Output: /tmp/bench_quiet_<n>.json.log per attempt.
 cd /root/repo
+BENCH_CMD=("$@")
+[ ${#BENCH_CMD[@]} -eq 0 ] && BENCH_CMD=(python bench.py)
 attempts=0
 while [ $attempts -lt 3 ]; do
   clean=0
@@ -15,11 +20,11 @@ while [ $attempts -lt 3 ]; do
   done
   [ $clean -lt 2 ] && { echo "no quiet window found in ~40min; giving up"; break; }
   attempts=$((attempts+1))
-  echo "=== bench attempt $attempts start $(date +%H:%M:%S)"
-  python bench.py > /tmp/bench_r5_quiet_$attempts.json.log 2>/dev/null
+  echo "=== bench attempt $attempts start $(date +%H:%M:%S): ${BENCH_CMD[*]}"
+  "${BENCH_CMD[@]}" > /tmp/bench_quiet_$attempts.json.log 2>/dev/null
   echo "=== bench attempt $attempts done  $(date +%H:%M:%S) rc=$?"
   post=$(python scripts/noise_probe.py)
   echo "post-probe $post"
-  tail -1 /tmp/bench_r5_quiet_$attempts.json.log
+  tail -1 /tmp/bench_quiet_$attempts.json.log
   if echo "$post" | grep -q CLEAN; then echo "BRACKETED-CLEAN run $attempts"; break; fi
 done
