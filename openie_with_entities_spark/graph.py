@@ -7,22 +7,28 @@ against it (the reference stops at emitting triples — these are the
 engine's first-class graph surface, sized for an entity-pair-bounded
 table that is orders of magnitude smaller than the 10^12-turn input).
 
-Scale shape:
-  * ``khop_neighborhood`` — k bounded small (≤ a handful); each hop is ONE
-    equi-join shuffle keyed on the frontier entity plus one anti-join on
-    the visited set; the frontier/visited tables carry only
-    (seed, entity, hop) ids, never text.  ``localCheckpoint`` cuts the
-    per-hop lineage so plans stay flat.  Seeds are typically a small
-    dimension → Spark broadcasts the first hop automatically under AQE.
+Scale shape (shared discipline: every iterated join's STATIC big side —
+adjacency / links / oriented edges — is ``repartition(join_key).persist()``
+rather than localCheckpoint, because ``InMemoryRelation`` preserves
+outputPartitioning where LogicalRDD does not: the big table shuffles ONCE,
+and each iteration shuffles only the small iterating side.  The small
+iterating tables still ``localCheckpoint`` per round to keep plans flat;
+caches are released before return.  Plan evidence in PLANS.md Round-6):
+  * ``khop_neighborhood`` — k bounded small (≤ a handful); each hop
+    shuffles ONLY the frontier against the cached src-partitioned
+    adjacency plus one anti-join on the visited set; frontier/visited
+    carry only (seed, entity, hop) ids, never text.
   * ``top_entities_by_degree`` — stack both endpoints, one map-combinable
     groupBy, then sort-limit (TakeOrderedAndProject: per-partition top-k,
     no global sort).
   * ``pagerank`` — classic pregel shape: each iteration is ONE equi-join
-    (ranks ⋈ out-edges on the source id) + ONE map-combinable groupBy on
-    the destination id; the rank table carries (entity, rank) only.
-    ``localCheckpoint`` per iteration cuts lineage so the plan stays flat
-    at any iteration count.  Hot entities skew the dst-side aggregate, but
-    partial aggregation absorbs it (contributions combine map-side).
+    (cached src-partitioned links ⋈ checkpointed ranks) + ONE
+    map-combinable groupBy on the destination id; out_deg aggregates
+    exchange-free off the same cached partitioning, and the only
+    per-iteration shuffle carries (entity, double).  Hot entities skew
+    the dst-side aggregate, but partial aggregation absorbs it
+    (contributions combine map-side).  Measured 2.3× vs the
+    checkpoint-only form (1M-edge random graph, 5 iterations, local[8]).
   * ``triangle_counts`` — degree-oriented (compact-forward) wedge join:
     each undirected edge is directed from its lower-(degree, id) endpoint
     to the higher, and wedges open only at the minimum-rank corner.  Wedge
@@ -73,6 +79,13 @@ def khop_neighborhood(
             F.col("src_entity").alias("a"), F.col("dst_entity").alias("b")
         ).distinct()
     )
+    # static big side of every hop's join: partition by the join key once
+    # and cache (InMemoryRelation keeps the partitioning; localCheckpoint
+    # would lose it) so each hop shuffles only the frontier. count()
+    # materializes eagerly — an UNexecuted cached AQE plan reports unknown
+    # partitioning and the first hop would re-shuffle it anyway
+    adj = adj.repartition("a").persist()
+    adj.count()
     frontier = seeds.select(
         "seed", F.col("seed").alias("entity"), F.lit(0).alias("hop")
     ).distinct()
@@ -91,6 +104,7 @@ def khop_neighborhood(
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    adj.unpersist()  # visited is localCheckpointed — no lineage into adj
     return visited
 
 
@@ -154,19 +168,31 @@ def pagerank(
         raise ValueError("n_iter must be >= 0")
     if tol is not None and tol <= 0:
         raise ValueError("tol must be > 0")
+    # The link table is the BIG side and is static across iterations:
+    # hash-partition it by the join key ONCE and cache — InMemoryRelation
+    # preserves outputPartitioning (localCheckpoint's LogicalRDD does
+    # not), so every iteration's links⋈ranks join reuses the cached
+    # layout and shuffles ONLY the (entity, rank) side. out_deg inherits
+    # the same src partitioning, so its aggregate and join are
+    # exchange-free too. Verified in PLANS.md (one Exchange per
+    # iteration on the rank side, none on links).
     links = (
         edges.select(
             F.col("src_entity").alias("src"), F.col("dst_entity").alias("dst")
         )
         .distinct()
-        .localCheckpoint()
+        .repartition("src")
+        .persist()
     )
+    links.count()  # eager: unexecuted cached plans report unknown partitioning
     nodes = (
         links.select(F.col("src").alias("entity"))
         .unionByName(links.select(F.col("dst").alias("entity")))
         .distinct()
-        .localCheckpoint()
+        .repartition("entity")
+        .persist()
     )
+    nodes.count()  # eager, as links
     out_deg = links.groupBy("src").agg(F.count("*").alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     rounds = n_iter if tol is None else max_iter
@@ -208,7 +234,12 @@ def pagerank(
         ranks = new_ranks
     if tol is not None:
         _LOG.info("pagerank converged: %d iterations (tol=%g)", it, tol)
-    return ranks.select("entity", F.round("rank", 4).alias("rank"))
+    out = ranks.select("entity", F.round("rank", 4).alias("rank"))
+    # drop the cached static tables; the final ranks are localCheckpointed
+    # (n_iter ≥ 1) or recomputable from lineage (n_iter = 0)
+    links.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -245,11 +276,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # both wedge sides join on src: partition the oriented edge set by src
+    # once and cache (partitioning survives InMemoryRelation, not
+    # localCheckpoint), so the wedge self-join is exchange-free on both
+    # inputs — only the (v, w) closing semi-join shuffles
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    ).localCheckpoint()
+    ).repartition("src").persist()
+    oriented.count()  # eager: see pagerank — exposes the cached partitioning
     o1 = oriented.select(
         "src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv")
     )
@@ -270,4 +306,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     corners = tris.select(
         F.explode(F.array("u", "v", "w")).alias("entity")
     )
-    return corners.groupBy("entity").agg(F.count("*").alias("n_triangles"))
+    out = (
+        corners.groupBy("entity")
+        .agg(F.count("*").alias("n_triangles"))
+        # eager: the per-entity counts are tiny; materializing them here
+        # lets the cached oriented edge set be released immediately
+        .localCheckpoint()
+    )
+    oriented.unpersist()
+    return out

@@ -76,16 +76,25 @@ def capture_pagerank(spark) -> None:
 
     from openie_with_entities_spark import graph
 
-    # production pagerank localCheckpoints every iteration, so its plan is
-    # "Scan ExistingRDD" — truncated lineage IS the scale property. To show
-    # the per-iteration shape, capture one iteration with the checkpoint
-    # disabled (identity), exactly the plan each iteration executes.
-    # NB: patch the INSTANCE class (pyspark 4's classic DataFrame subclass
-    # overrides localCheckpoint; patching pyspark.sql.DataFrame is a no-op).
+    # production pagerank localCheckpoints every iteration, so the final
+    # plan is just "Scan ExistingRDD" — truncated lineage IS the scale
+    # property. To show the work one iteration does, WRAP localCheckpoint
+    # (keeping its real behavior) and record each pre-checkpoint plan;
+    # the last capture of a 2-iteration run is the steady-state iteration:
+    # cached partitioned links/nodes + the previous iteration's
+    # checkpointed ranks. NB: patch the INSTANCE class (pyspark 4's
+    # classic DataFrame subclass overrides localCheckpoint).
     cls = type(_edges(spark))
-    with patch.object(cls, "localCheckpoint", lambda self, *a, **k: self):
-        df = graph.pagerank(_edges(spark), n_iter=1)
-        section("pagerank (1 iteration, checkpoint disabled for capture)", executed(df))
+    plans: list[str] = []
+    real = cls.localCheckpoint
+
+    def recording(self, *a, **k):
+        plans.append(executed(self))
+        return real(self, *a, **k)
+
+    with patch.object(cls, "localCheckpoint", recording):
+        graph.pagerank(_edges(spark), n_iter=2)
+    section("pagerank (steady-state iteration, pre-checkpoint)", plans[-1])
 
 
 def capture_khop(spark) -> None:
@@ -98,9 +107,24 @@ def capture_khop(spark) -> None:
 
 
 def capture_triangles(spark) -> None:
+    from unittest.mock import patch
+
     from openie_with_entities_spark import graph
 
-    section("triangles (degree-oriented, executed)", executed(graph.triangle_counts(_edges(spark))))
+    # the per-entity counts are localCheckpointed before return, so record
+    # the pre-checkpoint plans and print the last (the wedge join + corner
+    # count), same trick as the pagerank capture
+    cls = type(_edges(spark))
+    plans: list[str] = []
+    real = cls.localCheckpoint
+
+    def recording(self, *a, **k):
+        plans.append(executed(self))
+        return real(self, *a, **k)
+
+    with patch.object(cls, "localCheckpoint", recording):
+        graph.triangle_counts(_edges(spark))
+    section("triangles (degree-oriented, pre-checkpoint)", plans[-1])
 
 
 CAPTURES = {
