@@ -201,3 +201,49 @@ def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
     plan = heavy_hitters(docs, phi=0.1)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pagerank_iteration_single_small_shuffle(spark):
+    """The static link/node tables must serve every pagerank iteration
+    from their cached hash-partitioned layout (InMemoryTableScan, no
+    re-shuffle): with broadcast disabled, the steady-state iteration's
+    pre-checkpoint plan may shuffle ONLY the tiny (entity, contrib/rank)
+    side — one ENSURE_REQUIREMENTS exchange for the contrib sum and one
+    sort for the rank join, never an exchange over the link table."""
+    import re
+    from unittest.mock import patch
+
+    from openie_with_entities_spark import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", "p", 1.0, 1), ("b", "c", "p", 1.0, 1), ("c", "a", "p", 1.0, 1)],
+        "src_entity string, dst_entity string, predicate string, "
+        "confidence double, n_conversations int",
+    )
+    plans = []
+    cls = type(edges)
+    real = cls.localCheckpoint
+
+    def recording(self, *a, **k):
+        plans.append(plan_of(self))
+        return real(self, *a, **k)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with patch.object(cls, "localCheckpoint", recording):
+            graph.pagerank(edges, n_iter=2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    steady = plans[-1]
+    assert "InMemoryTableScan" in steady, steady
+    # top-level exchanges only (nested cached-plan dumps are indented deep)
+    top = [
+        l for l in steady.splitlines()
+        if "Exchange" in l and (len(l) - len(l.lstrip())) <= 24
+    ]
+    ensure = [l for l in top if "ENSURE_REQUIREMENTS" in l]
+    assert len(ensure) <= 2, steady  # contrib sum (+ rank-side join align)
+    assert not any(
+        re.search(r"Exchange hashpartitioning\(src", l) for l in ensure
+    ), steady  # the link table must NOT re-shuffle per iteration
