@@ -217,10 +217,11 @@ def main() -> None:
             # N→4N measurement lives in the pinned `--scaling` mode; the
             # most recent run is recorded in BASELINE.md §Round-3
             "scaling_evidence": (
-                "cores: r5 clean N→4N pair local[2]=9998/[8]=40749 (eff "
-                "1.019, idle-box run 3 — BENCH_scaling_r05.json; r5's host "
-                "had repeated steal bursts, all attempts tabulated in "
-                "BASELINE.md §Round-5); r4 best-clean [2]=15574/[8]=51080/"
+                "cores: r6 N→4N pair local[2]=9164/[8]=36353 (eff 0.992, "
+                "probe-bracketed under 2.0-2.5x measured host steal — "
+                "BENCH_scaling_r06.json; steal hits both small-core points "
+                "alike, 32-core point steal-suppressed and so marked); r5 "
+                "clean pair eff 1.019; r4 best-clean [2]=15574/[8]=51080/"
                 "[32]=88984 (eff 0.82), 32-core best 100627; data: 10× "
                 "decade ratios ≤7.8, kg 185k turns/s at 6.24M turns"
             ),
