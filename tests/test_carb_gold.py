@@ -88,3 +88,33 @@ def test_engine_extractor_on_carb_sentences(spark, gold):
     assert 0.0 <= r.zero_conf_precision <= 1.0
     assert 0.0 <= r.zero_conf_recall <= 1.0
     assert 0.0 <= r.auc <= 1.0
+
+
+def test_sentence_scores_on_real_gold(gold):
+    """carb_sentence_scores on the real dev.tsv: gold-vs-gold scores
+    (near-)perfectly per sentence, one row per gold sentence, and the
+    optimal point can never beat perfection; stamping optimal confidences
+    back then leaves every extraction at its sentence's best cutoff."""
+    from openie_with_entities_spark.evaluate import (
+        carb_sentence_scores,
+        stamp_optimal_confidence,
+    )
+
+    pred = gold.withColumn("confidence", F.lit(0.7))
+    scores = carb_sentence_scores(gold, pred).cache()
+    n_sentences = gold.select("sent_key").distinct().count()
+    assert scores.count() == n_sentences
+    rows = scores.collect()
+    # self-comparison: precision is exactly 1.0 everywhere; recall may dip
+    # on the few gold args with bare '.' tokens (matcher drops them from
+    # predictions only — see test_gold_against_itself_is_perfect)
+    assert all(r.precision == 1.0 for r in rows)
+    # 630/638 exactly perfect on dev.tsv; the 8 misses are the bare-'.'
+    # gold-arg sentences
+    assert sum(1 for r in rows if r.f1 == 1.0) >= 0.98 * n_sentences
+    assert all(r.optimal_f1 >= r.f1 for r in rows)
+    assert all(r.optimal_conf == 0.7 for r in rows if r.n_pred > 0)
+    stamped = stamp_optimal_confidence(gold, pred)
+    assert stamped.count() == pred.count()
+    assert stamped.where("confidence <> 0.7").count() == 0
+    scores.unpersist()
