@@ -462,6 +462,7 @@ _FIRST_WINDOW = [
     # round-6 new
     "e2_carb_sentences",
     "e2_stamp_optimal",
+    "kg_merge_edges",
     # round-5 new
     "reader_clausie",
     "reader_benchmark_gold",
@@ -492,10 +493,10 @@ _FIRST_WINDOW = [
     "conv_dedup_exact",
     "conv_neardup",
     "conv_prepare",
-    # (docs_mixture_sample and docs_heavy_hitters rotated to the sentinel
-    #  pool in round 6 to make room for e2_carb_sentences and
-    #  e2_stamp_optimal — both stable + witnessed in r4 and r5)
-    "docs_unigram_logprob",
+    # (docs_mixture_sample, docs_heavy_hitters and docs_unigram_logprob
+    #  rotated to the sentinel pool in round 6 to make room for
+    #  e2_carb_sentences, e2_stamp_optimal and kg_merge_edges — all three
+    #  stable + witnessed in r4 and r5)
     "s10_salted_resume",
     "docs_tfidf_topk",
     "docs_ngram_jaccard",
@@ -534,7 +535,7 @@ _PINNED = [
 ]
 _WINDOW_SIZE = 50
 
-_N_NEW = 23  # sentinels splice in after the round-6 + round-5 blocks
+_N_NEW = 24  # sentinels splice in after the round-6 + round-5 blocks
 _N_SENTINELS = 6
 
 

@@ -202,6 +202,38 @@ def materialize_graph(linked_triples: DataFrame) -> DataFrame:
     )
 
 
+def merge_graph_edges(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: fold a new batch's edge table (the
+    output of :func:`materialize_graph` over freshly linked triples) into
+    an existing ``graph_edges`` table WITHOUT rebuilding from the full
+    evidence corpus — the operational path for a streaming/append-only
+    deployment where the historical triple table is petabyte-scale but
+    each delta is small.
+
+    Merge semantics per (src_entity, predicate, dst_entity):
+      * ``n_mentions``      — sums (every mention is new evidence),
+      * ``max_confidence``  — maxes (best witness overall),
+      * ``n_convs``         — sums, which is exact ONLY when the delta's
+        conversations are disjoint from the existing table's. That is the
+        invariant of the engine's streaming ingest (dropDuplicates on
+        (conv_id, turn_idx) within the watermark + the reconcile pass for
+        replays); feeding overlapping conversation batches would
+        double-count corpus support. Exact n_convs under overlap requires
+        re-aggregating the touched keys from the evidence table — at that
+        point run :func:`materialize_graph` over the union instead.
+
+    One shuffle keyed on the entity-pair-bounded edge key; map-combinable
+    everywhere. The common case (delta ≪ existing) broadcasts nothing and
+    touches every existing partition once — at 100 TB pair this with a
+    storage layer that supports MERGE (Iceberg/Delta) keyed the same way."""
+    both = existing.unionByName(delta)
+    return both.groupBy("src_entity", "predicate", "dst_entity").agg(
+        F.sum("n_mentions").alias("n_mentions"),
+        F.sum("n_convs").alias("n_convs"),
+        F.round(F.max("max_confidence"), 4).alias("max_confidence"),
+    )
+
+
 def canonicalize(
     triples: DataFrame, linked_mentions: DataFrame, max_iter: int = 25
 ) -> tuple[DataFrame, DataFrame]:

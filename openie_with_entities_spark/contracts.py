@@ -2185,6 +2185,46 @@ def q_kg_graph_edges(spark, sf_dir):
     )
 
 
+def q_kg_merge_edges(spark, sf_dir):
+    """Incremental graph maintenance (canonicalize.merge_graph_edges):
+    existing edge table + a delta batch with one overlapping key (counts
+    sum, confidence maxes) and one brand-new key."""
+    from openie_with_entities_spark.canonicalize import merge_graph_edges
+
+    ddl = (
+        "src_entity string, predicate string, dst_entity string, "
+        "n_mentions bigint, n_convs bigint, max_confidence double"
+    )
+    existing = spark.createDataFrame(
+        [
+            ("E1", "founded", "E2", 3, 2, 0.91),
+            ("E1", "visited", "E3", 1, 1, 0.5),
+        ],
+        ddl,
+    )
+    delta = spark.createDataFrame(
+        [
+            ("E1", "founded", "E2", 2, 1, 0.97),
+            ("E4", "joined", "E5", 1, 1, 0.8),
+        ],
+        ddl,
+    )
+    return merge_graph_edges(existing, delta)
+
+
+O_KG_MERGE = """
+    SELECT src_entity, predicate, dst_entity,
+           CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_convs AS BIGINT) AS n_convs, max_confidence
+    FROM (VALUES
+        ('E1', 'founded', 'E2', 5, 3, 0.97),
+        ('E1', 'visited', 'E3', 1, 1, 0.5),
+        ('E4', 'joined', 'E5', 1, 1, 0.8)
+    ) AS t(src_entity, predicate, dst_entity, n_mentions, n_convs,
+           max_confidence)
+"""
+
+
 def _linked_values() -> str:
     def v(x):
         if x is None:
@@ -3304,6 +3344,7 @@ def extra_queries() -> dict:
         "stream_clean_drain": q_stream_clean_drain,
         "e2_carb_sentences": q_e2_carb_sentences,
         "e2_stamp_optimal": q_e2_stamp_optimal,
+        "kg_merge_edges": q_kg_merge_edges,
     }
 
 
@@ -3386,6 +3427,7 @@ def extra_oracles() -> dict:
         "stream_clean_drain": o_stream_clean_drain(),
         "e2_carb_sentences": O_E2_SENTENCES,
         "e2_stamp_optimal": O_E2_STAMP,
+        "kg_merge_edges": O_KG_MERGE,
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -174,3 +174,33 @@ def test_graph_edges_materialized(spark, tmp_path):
     )).collect()
     assert len(direct) == 1
     assert (direct[0].n_mentions, direct[0].n_convs, direct[0].max_confidence) == (2, 2, 0.9)
+
+
+def test_merge_graph_edges_incremental_equals_full(spark):
+    """Folding a disjoint-conversation delta into an existing edge table
+    equals materializing the graph from the unioned evidence (the merge's
+    documented invariant), including predicate-normalization collapse."""
+    from openie_with_entities_spark.canonicalize import (
+        materialize_graph,
+        merge_graph_edges,
+    )
+
+    ddl = (
+        "conv_id string, turn_idx int, arg1_entity_id string, rel string, "
+        "arg2_entity_id string, confidence double"
+    )
+    old_evidence = [
+        ("c1", 0, "E1", "founded", "E2", 0.9),
+        ("c1", 1, "E1", "Founded!", "E2", 0.8),  # P15-normalizes together
+        ("c2", 0, "E1", "visited", "E3", 0.5),
+    ]
+    new_evidence = [
+        ("c3", 0, "E1", "founded", "E2", 0.97),
+        ("c3", 1, "E4", "joined", "E5", 0.8),
+    ]
+    full = materialize_graph(spark.createDataFrame(old_evidence + new_evidence, ddl))
+    merged = merge_graph_edges(
+        materialize_graph(spark.createDataFrame(old_evidence, ddl)),
+        materialize_graph(spark.createDataFrame(new_evidence, ddl)),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
