@@ -463,6 +463,7 @@ _FIRST_WINDOW = [
     "e2_carb_sentences",
     "e2_stamp_optimal",
     "kg_merge_edges",
+    "kg_lpa",
     # round-5 new
     "reader_clausie",
     "reader_benchmark_gold",
@@ -496,9 +497,9 @@ _FIRST_WINDOW = [
     # (docs_mixture_sample, docs_heavy_hitters and docs_unigram_logprob
     #  rotated to the sentinel pool in round 6 to make room for
     #  e2_carb_sentences, e2_stamp_optimal and kg_merge_edges — all three
-    #  stable + witnessed in r4 and r5)
+    #  stable + witnessed in r4 and r5; docs_tfidf_topk likewise for
+    #  kg_lpa)
     "s10_salted_resume",
-    "docs_tfidf_topk",
     "docs_ngram_jaccard",
     "s10_checkpoint_resume",
     # heavier / higher-risk operators kept under the driver's eye
@@ -535,7 +536,7 @@ _PINNED = [
 ]
 _WINDOW_SIZE = 50
 
-_N_NEW = 24  # sentinels splice in after the round-6 + round-5 blocks
+_N_NEW = 25  # sentinels splice in after the round-6 + round-5 blocks
 _N_SENTINELS = 6
 
 

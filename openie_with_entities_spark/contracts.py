@@ -3131,6 +3131,47 @@ def o_kg_pagerank() -> str:
     """
 
 
+def q_kg_lpa(spark, sf_dir):
+    from openie_with_entities_spark.graph import label_propagation
+
+    edges = spark.createDataFrame(_GRAPH_FIXTURE2, _GRAPH_DDL)
+    return label_propagation(edges, n_iter=2)
+
+
+def o_kg_lpa() -> str:
+    # deterministic sync LPA, 2 iterations unrolled: per iteration each
+    # node takes the most frequent label among its neighbors, ties to the
+    # SMALLEST label (graph.py pins GraphX's nondeterministic tie) —
+    # ROW_NUMBER over (count DESC, label ASC) per node; self-loops dropped
+    iters = "".join(
+        f""",
+        v{k} AS (
+            SELECT u.a, lp.label, COUNT(*) AS cnt
+            FROM und u JOIN l{k - 1} lp ON lp.entity = u.b
+            GROUP BY u.a, lp.label),
+        l{k} AS (
+            SELECT a AS entity, label FROM (
+                SELECT a, label, ROW_NUMBER() OVER (
+                    PARTITION BY a ORDER BY cnt DESC, label ASC) AS rn
+                FROM v{k})
+            WHERE rn = 1)"""
+        for k in (1, 2)
+    )
+    return f"""
+        WITH e(src_entity, predicate, dst_entity, n_mentions, n_convs,
+               max_confidence) AS (VALUES {_graph2_values()}),
+        und AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT src_entity AS a, dst_entity AS b FROM e
+                UNION ALL
+                SELECT dst_entity AS a, src_entity AS b FROM e)
+            WHERE a <> b),
+        l0 AS (SELECT DISTINCT a AS entity, a AS label FROM und)
+        {iters}
+        SELECT entity, label AS community FROM l2
+    """
+
+
 def q_kg_triangles(spark, sf_dir):
     from openie_with_entities_spark.graph import triangle_counts
 
@@ -3345,6 +3386,7 @@ def extra_queries() -> dict:
         "e2_carb_sentences": q_e2_carb_sentences,
         "e2_stamp_optimal": q_e2_stamp_optimal,
         "kg_merge_edges": q_kg_merge_edges,
+        "kg_lpa": q_kg_lpa,
     }
 
 
@@ -3428,6 +3470,7 @@ def extra_oracles() -> dict:
         "e2_carb_sentences": O_E2_SENTENCES,
         "e2_stamp_optimal": O_E2_STAMP,
         "kg_merge_edges": O_KG_MERGE,
+        "kg_lpa": o_kg_lpa(),
     }
     if _S10_N_TRIPLES is not None:
         oracles["s10_checkpoint_resume"] = o_s10(_S10_N_TRIPLES)

@@ -29,6 +29,10 @@ caches are released before return.  Plan evidence in PLANS.md Round-6):
     the dst-side aggregate, but partial aggregation absorbs it
     (contributions combine map-side).  Measured 2.3× vs the
     checkpoint-only form (1M-edge random graph, 5 iterations, local[8]).
+  * ``label_propagation`` — deterministic sync LPA (most-frequent
+    neighbor label, ties → smallest): per iteration one join against the
+    cached adjacency + two map-combinable aggregates over (entity, label)
+    pairs; same cached-static-side / checkpointed-small-side discipline.
   * ``triangle_counts`` — degree-oriented (compact-forward) wedge join:
     each undirected edge is directed from its lower-(degree, id) endpoint
     to the higher, and wedges open only at the minimum-rank corner.  Wedge
@@ -239,6 +243,55 @@ def pagerank(
     # (n_iter ≥ 1) or recomputable from lineage (n_iter = 0)
     links.unpersist()
     nodes.unpersist()
+    return out
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected materialized graph (the GraphX ``LabelPropagation`` shape,
+    made DETERMINISTIC): every node starts labeled with its own id; each
+    iteration relabels every node with the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (GraphX leaves the tie
+    nondeterministic — this engine pins it so results are stable across
+    partitionings and oracle-checkable). Emits (entity, community) after
+    exactly ``n_iter`` sync rounds. Self-loops are dropped (a node's own
+    label must not vote); isolated nodes cannot appear in an edge table.
+
+    Scale shape: same discipline as pagerank — the undirected adjacency is
+    cached hash-partitioned on the probe key once; per iteration the only
+    shuffled payload is (entity, label) pairs through one map-combinable
+    count and one argmax (min over (-count, label) structs, itself
+    map-combinable). ``localCheckpoint`` per iteration keeps plans flat."""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    und = (
+        _undirected(edges)
+        .where(F.col("a") != F.col("b"))
+        .repartition("a")
+        .persist()
+    )
+    und.count()  # eager: expose the cached partitioning (see pagerank)
+    labels = (
+        und.select(F.col("a").alias("entity"))
+        .distinct()
+        .withColumn("label", F.col("entity"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        votes = (
+            und.join(labels, und.b == labels.entity)
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("a")
+            # min over (-cnt, label): highest count, then smallest label
+            .agg(F.min(F.struct((-F.col("cnt")).alias("_neg"), F.col("label"))).alias("_best"))
+            .select(F.col("a").alias("entity"), F.col("_best.label").alias("label"))
+            .localCheckpoint()
+        )
+    out = labels.select("entity", F.col("label").alias("community"))
+    und.unpersist()
     return out
 
 

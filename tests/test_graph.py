@@ -313,3 +313,79 @@ def test_pagerank_tolerance_respects_max_iter(spark):
     seq = _pagerank_seq(FIXTURE2, n_iter=2)
     assert capped.keys() == seq.keys()
     assert all(abs(capped[n] - seq[n]) <= 1e-4 for n in seq)
+
+
+def _lpa_seq(edge_rows, n_iter):
+    """Sequential twin: sync LPA, most-frequent neighbor label, tie -> min."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_rows:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n in adj:
+            c = Counter(labels[m] for m in adj[n])
+            top = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == top)
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_communities(spark):
+    from openie_with_entities_spark.graph import label_propagation
+
+    rows = [
+        ("A", "p", "B", 1, 1, 1.0), ("B", "p", "C", 1, 1, 1.0),
+        ("C", "p", "A", 1, 1, 1.0), ("D", "p", "E", 1, 1, 1.0),
+        ("C", "p", "C", 1, 1, 1.0),  # self-loop: dropped
+    ]
+    edges = spark.createDataFrame(rows, DDL)
+    got = {r.entity: r.community for r in label_propagation(edges, n_iter=4).collect()}
+    seq = _lpa_seq([(r[0], r[2]) for r in rows], 4)
+    assert got == seq
+    # the triangle converges to its min id; the pair oscillates or settles
+    assert got["A"] == got["B"] == got["C"] == "A"
+    assert set(got) == {"A", "B", "C", "D", "E"}
+
+
+def test_label_propagation_matches_sequential_on_random_graph(spark):
+    import random
+
+    from openie_with_entities_spark.graph import label_propagation
+
+    random.seed(66)
+    rows = [
+        (f"N{random.randrange(40)}", "p", f"N{random.randrange(40)}", 1, 1, 1.0)
+        for _ in range(120)
+    ]
+    edges = spark.createDataFrame(rows, DDL)
+    for n_iter in (0, 1, 3):
+        got = {
+            r.entity: r.community
+            for r in label_propagation(edges, n_iter=n_iter).collect()
+        }
+        assert got == _lpa_seq([(r[0], r[2]) for r in rows], n_iter), n_iter
+    # partitioning invariance
+    got1 = {
+        r.entity: r.community
+        for r in label_propagation(edges.repartition(1), n_iter=3).collect()
+    }
+    got13 = {
+        r.entity: r.community
+        for r in label_propagation(edges.repartition(13), n_iter=3).collect()
+    }
+    assert got1 == got13
+
+
+def test_label_propagation_validation(spark):
+    import pytest
+
+    from openie_with_entities_spark.graph import label_propagation
+
+    edges = spark.createDataFrame([("A", "p", "B", 1, 1, 1.0)], DDL)
+    with pytest.raises(ValueError):
+        label_propagation(edges, n_iter=-1)
