@@ -456,7 +456,7 @@ def _media_features(spark, sf_dir):
 # independently-witnessed sample — round-4 advisor item), then prior-round
 # and heavier operators. The full set is still checked every round by
 # scripts/check_contracts.py (committed evidence).
-_ROUND = 6  # bump when a new round starts; drives the sentinel rotation
+_ROUND = 7  # bump when a new round starts; drives the sentinel rotation
 
 _FIRST_WINDOW = [
     # round-6 new

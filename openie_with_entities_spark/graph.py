@@ -87,9 +87,11 @@ def khop_neighborhood(
     # and cache (InMemoryRelation keeps the partitioning; localCheckpoint
     # would lose it) so each hop shuffles only the frontier. count()
     # materializes eagerly — an UNexecuted cached AQE plan reports unknown
-    # partitioning and the first hop would re-shuffle it anyway
-    adj = adj.repartition("a").persist()
-    adj.count()
+    # partitioning and the first hop would re-shuffle it anyway. k=0 never
+    # probes the adjacency: skip the scan/shuffle/persist entirely.
+    if k > 0:
+        adj = adj.repartition("a").persist()
+        adj.count()
     frontier = seeds.select(
         "seed", F.col("seed").alias("entity"), F.lit(0).alias("hop")
     ).distinct()
@@ -108,7 +110,8 @@ def khop_neighborhood(
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    adj.unpersist()  # visited is localCheckpointed — no lineage into adj
+    if k > 0:
+        adj.unpersist()  # visited is localCheckpointed — no lineage into adj
     return visited
 
 
@@ -267,12 +270,18 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     und = (
         _undirected(edges)
         .where(F.col("a") != F.col("b"))
-        .repartition("a")
+        # partition on the JOIN key: the per-iteration join probes und.b
+        # against labels.entity, so the cached layout must be hash(b) —
+        # cached hash(a) re-shuffled the full edge table every iteration
+        # (round-6 verdict finding; plan test pins the fixed layout)
+        .repartition("b")
         .persist()
     )
     und.count()  # eager: expose the cached partitioning (see pagerank)
     labels = (
-        und.select(F.col("a").alias("entity"))
+        # und is symmetric, so column b spans the node set too — and the
+        # init distinct reuses the cached hash(b) layout exchange-free
+        und.select(F.col("b").alias("entity"))
         .distinct()
         .withColumn("label", F.col("entity"))
         .localCheckpoint()

@@ -127,11 +127,33 @@ def capture_triangles(spark) -> None:
     section("triangles (degree-oriented, pre-checkpoint)", plans[-1])
 
 
+def capture_lpa(spark) -> None:
+    from unittest.mock import patch
+
+    from openie_with_entities_spark import graph
+
+    # same pre-checkpoint recording trick as pagerank: the steady-state
+    # iteration must read the adjacency from its cached hash(b) layout
+    # (round-7 fix — cached hash(a) re-shuffled every iteration)
+    cls = type(_edges(spark))
+    plans: list[str] = []
+    real = cls.localCheckpoint
+
+    def recording(self, *a, **k):
+        plans.append(executed(self))
+        return real(self, *a, **k)
+
+    with patch.object(cls, "localCheckpoint", recording):
+        graph.label_propagation(_edges(spark), n_iter=2)
+    section("label_propagation (steady-state iteration, pre-checkpoint)", plans[-1])
+
+
 CAPTURES = {
     "fused": capture_fused,
     "pagerank": capture_pagerank,
     "khop": capture_khop,
     "triangles": capture_triangles,
+    "lpa": capture_lpa,
 }
 
 

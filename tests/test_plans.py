@@ -247,3 +247,49 @@ def test_pagerank_iteration_single_small_shuffle(spark):
     assert not any(
         re.search(r"Exchange hashpartitioning\(src", l) for l in ensure
     ), steady  # the link table must NOT re-shuffle per iteration
+
+
+def test_label_propagation_iteration_single_small_shuffle(spark):
+    """The cached undirected adjacency must be partitioned on the JOIN key
+    (b — the per-iteration join is und.b == labels.entity): with broadcast
+    disabled, the steady-state iteration reads the adjacency straight from
+    its InMemoryTableScan and shuffles ONLY (entity, label)-shaped sides —
+    never an exchange re-hashing the adjacency itself (the round-6 wrong-key
+    regression: cached hash(a), joined on b → full edge re-shuffle/iter)."""
+    from unittest.mock import patch
+
+    from openie_with_entities_spark import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", "p", 1.0, 1), ("b", "c", "p", 1.0, 1), ("c", "a", "p", 1.0, 1)],
+        "src_entity string, dst_entity string, predicate string, "
+        "confidence double, n_conversations int",
+    )
+    plans = []
+    cls = type(edges)
+    real = cls.localCheckpoint
+
+    def recording(self, *a, **k):
+        plans.append(plan_of(self))
+        return real(self, *a, **k)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with patch.object(cls, "localCheckpoint", recording):
+            graph.label_propagation(edges, n_iter=2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    steady = plans[-1]  # last iteration's pre-checkpoint plan
+    assert "InMemoryTableScan" in steady, steady
+    # top-level exchanges only (nested cached-plan dumps are indented deep)
+    top = [
+        l for l in steady.splitlines()
+        if "Exchange" in l and (len(l) - len(l.lstrip())) <= 24
+    ]
+    ensure = [l for l in top if "ENSURE_REQUIREMENTS" in l]
+    # labels-side join align + (a, label) vote count + per-a argmax
+    assert len(ensure) <= 3, steady
+    assert not any(
+        re.search(r"Exchange hashpartitioning\(b#", l) for l in ensure
+    ), steady  # the adjacency must NOT re-shuffle per iteration
