@@ -56,6 +56,19 @@ FUSED_SCHEMA = (
     "arg2_surface string, arg2_n_mentions int"
 )
 
+# Per-TASK memo bounds (round 7). The extraction result of a sentence is a
+# pure function of its TEXT — the reference itself pools all work per
+# sentence text (its ``mapping``/``all_predictions`` dicts,
+# /root/reference/run.py:163-204, model.py:609-634) — so within one task
+# each distinct sentence is labeled/decoded/link-summarized ONCE and every
+# further instance replays the memoized rows. The memos live inside the
+# mapInPandas ``run`` closure: born and garbage-collected with the task,
+# never shared across tasks or runs (every bench/oracle invocation
+# recomputes from its inputs). Caps bound worker memory on adversarial
+# corpora; an over-cap sentence is simply computed without being stored.
+_SENT_MEMO_CAP = 100_000
+_LINK_MEMO_CAP = 200_000
+
 
 def _link_summary(text: str, surfaces: frozenset[str]) -> tuple[str | None, int]:
     """(first dictionary-matched mention surface, matched count) for one arg."""
@@ -80,9 +93,15 @@ def fused_extract_stage(
 ) -> DataFrame:
     """turns → deduped triples with per-arg link summaries.
 
-    Exactly TWO backend calls per Arrow batch — conj labels for every
-    eligible sentence, then OIE labels for every split sentence — the same
-    two batched forward passes as the reference's predict loops, colocated.
+    At most TWO backend calls per Arrow batch — conj labels for the batch's
+    NEW distinct sentences, then OIE labels for their split sentences — the
+    same two batched forward passes as the reference's predict loops,
+    colocated. Distinct-sentence memoization (round 7): extraction is a pure
+    function of the sentence text, and the reference pools exactly this way
+    (text-keyed ``mapping`` dicts), so repeated sentences — boilerplate,
+    fillers, quoted turns — cost one dict probe instead of a model call.
+    The memo is task-local (see _SENT_MEMO_CAP above): results replay
+    row-identically, counters included.
 
     ``counters``: optional plans.metrics.StageCounters (FUSED_COUNTERS set)
     incremented per Arrow batch — one accumulator update per batch, not per
@@ -90,6 +109,18 @@ def fused_extract_stage(
     backend = backend or DeterministicBackend()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-lifetime memos (never outlive the task — see _SENT_MEMO_CAP)
+        memo: dict[str, tuple[list[tuple], int, int]] = {}
+        link_memo: dict[str, tuple[str | None, int]] = {}
+
+        def link(text: str) -> tuple[str | None, int]:
+            r = link_memo.get(text)
+            if r is None:
+                r = _link_summary(text, surfaces)
+                if len(link_memo) < _LINK_MEMO_CAP:
+                    link_memo[text] = r
+            return r
+
         for pdf in batches:
             n_sent = n_long = n_splits = n_ext = n_dedup = 0
             out: dict[str, list] = {k: [] for k in (
@@ -98,9 +129,13 @@ def fused_extract_stage(
                 "arg1_surface", "arg1_n_mentions",
                 "arg2_surface", "arg2_n_mentions",
             )}
-            # pass 1: segment + length-guard every turn of the batch
-            sent_meta: list = []  # (conv_id, turn_idx, sent_idx, text)
+            # pass 1: segment + length-guard every turn; queue sentences the
+            # memo has not seen (batch-first-occurrence order, so backend
+            # call order stays deterministic)
+            instances: list = []  # (conv_id, turn_idx, sent_idx, text)
+            new_texts: list[str] = []
             token_lists: list[list[str]] = []
+            queued: set[str] = set()
             for conv_id, turn_idx, turn_text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
@@ -111,10 +146,13 @@ def fused_extract_stage(
                     if len(tokens) > MAX_WORDS_WITH_SENTINELS:
                         n_long += 1
                         continue
-                    sent_meta.append((conv_id, turn_idx, sent_idx, text))
-                    token_lists.append(tokens)
-            # one conj-model call for the whole batch
-            matrices = backend.conj_batch(token_lists)
+                    instances.append((conv_id, turn_idx, sent_idx, text))
+                    if text not in memo and text not in queued:
+                        queued.add(text)
+                        new_texts.append(text)
+                        token_lists.append(tokens)
+            # one conj-model call for the batch's new distinct sentences
+            matrices = backend.conj_batch(token_lists) if token_lists else []
             # expand coordinations into split sentences
             split_meta: list = []  # (sent row id, split_idx)
             split_tokens: list[list[str]] = []
@@ -124,15 +162,19 @@ def fused_extract_stage(
                 coords = decode_coordinations(matrix)
                 split_texts, _cw, _ = split_by_coordinations(coords, tokens)
                 splits = [_strip_sentinels(t) for t in split_texts] or [
-                    sent_meta[row_id][3]
+                    new_texts[row_id]
                 ]
-                n_splits += len(splits)
                 for split_idx, split in enumerate(splits):
                     split_meta.append((row_id, split_idx))
                     split_tokens.append(split.split() + SENTINELS)
-            # one OIE-model call for all splits of the batch
-            labeled = backend.oie_batch(split_tokens)
-            # decode + per-sentence insert-order dedup + link summary
+            # one OIE-model call for all splits of those sentences
+            labeled = backend.oie_batch(split_tokens) if split_tokens else []
+            # decode + per-sentence insert-order dedup + link summary into
+            # per-sentence row templates (the memo payload)
+            fresh: dict[str, tuple[list[tuple], int, int]] = {}
+            t_rows: list[list[tuple]] = [[] for _ in new_texts]
+            t_splits = [0] * len(new_texts)
+            t_dedup = [0] * len(new_texts)
             seen_for: int = -1
             seen: set[str] = set()
             for (row_id, split_idx), stoks, (rows, confs) in zip(
@@ -140,18 +182,38 @@ def fused_extract_stage(
             ):
                 if row_id != seen_for:
                     seen_for, seen = row_id, set()
-                conv_id, turn_idx, sent_idx, _text = sent_meta[row_id]
+                t_splits[row_id] += 1
                 for ext_idx, (arg1, rel, arg2, conf) in enumerate(
                     decode_extractions(rows, stoks, confs)
                 ):
                     key = extraction_key(arg1, arg2, rel)
                     if key in seen:
-                        n_dedup += 1
+                        t_dedup[row_id] += 1
                         continue
                     seen.add(key)
-                    n_ext += 1
-                    s1, n1 = _link_summary(arg1, surfaces)
-                    s2, n2 = _link_summary(arg2, surfaces)
+                    s1, n1 = link(arg1)
+                    s2, n2 = link(arg2)
+                    t_rows[row_id].append(
+                        (split_idx, ext_idx, arg1, rel, arg2, conf,
+                         s1, n1, s2, n2)
+                    )
+            for row_id, text in enumerate(new_texts):
+                entry = (t_rows[row_id], t_splits[row_id], t_dedup[row_id])
+                fresh[text] = entry
+                if len(memo) < _SENT_MEMO_CAP:
+                    memo[text] = entry
+            # pass 2: replay the per-sentence template for every instance —
+            # row order and counter totals identical to the unmemoized loop
+            for conv_id, turn_idx, sent_idx, text in instances:
+                tmpl = memo.get(text)
+                if tmpl is None:
+                    tmpl = fresh[text]
+                rows_t, nsp, ndd = tmpl
+                n_splits += nsp
+                n_dedup += ndd
+                n_ext += len(rows_t)
+                for (split_idx, ext_idx, arg1, rel, arg2, conf,
+                     s1, n1, s2, n2) in rows_t:
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     out["sent_idx"].append(sent_idx)

@@ -91,8 +91,14 @@ def oie_label_matrix(tokens: list[str]) -> tuple[list[list[int]], list[float]]:
 
     for depth, v in enumerate(verb_idx[:MAX_OIE_DEPTH]):
         row = [0] * n
-        for i in nonskip:
-            row[i] = 1 if i < v else 3
+        # split nonskip at the verb once instead of testing i < v per
+        # element (bisect_right includes v in the left slice; the verb
+        # label overwrites it right after)
+        kv = bisect_right(nonskip, v)
+        for i in nonskip[:kv]:
+            row[i] = 1
+        for i in nonskip[kv:]:
+            row[i] = 3
         row[v] = 2
         # trailing prepositional adjunct → LOC/TIME (folded back into arg2
         # by the decoder, mirroring the reference's default arg2+loc_time):

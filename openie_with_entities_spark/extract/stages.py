@@ -98,6 +98,13 @@ def conj_split_stage(
     backend = backend or DeterministicBackend()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-local distinct-sentence memo (same rationale and bound as
+        # extract.fused: splitting is a pure function of the text, and the
+        # reference pools per sentence text)
+        from .fused import _SENT_MEMO_CAP
+
+        memo: dict[str, tuple] = {}
+
         for pdf in batches:
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "sent_idx": [],
@@ -107,29 +114,41 @@ def conj_split_stage(
             if with_indices:
                 out["split_indices"] = []
                 out["n_orig_tokens"] = []
-            token_lists = [t.split() + SENTINELS for t in pdf["text"]]
-            matrices = backend.conj_batch(token_lists)
-            for conv_id, turn_idx, sent_idx, text, tokens, matrix in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"], pdf["text"],
-                token_lists, matrices,
+            # batch the conj call over the batch's NEW distinct sentences;
+            # ``new`` covers every non-memoized text of the batch, so the
+            # batch-local dict always resolves (over-cap entries simply
+            # are not carried to the next batch)
+            fresh: dict[str, tuple] = {}
+            new = [t for t in dict.fromkeys(pdf["text"]) if t not in memo]
+            if new:
+                token_lists = [t.split() + SENTINELS for t in new]
+                matrices = backend.conj_batch(token_lists)
+                for text, tokens, matrix in zip(new, token_lists, matrices):
+                    coords = decode_coordinations(matrix)
+                    texts, conj_words, idx_lists = split_by_coordinations(
+                        coords, tokens
+                    )
+                    n_clean = len(tokens) - len(SENTINELS)
+                    if texts:
+                        splits = [_strip_sentinels(t) for t in texts]
+                        clean_idx = [
+                            [i for i in sorted(s) if i < n_clean]
+                            for s in idx_lists
+                        ]
+                    else:
+                        splits = [text]
+                        clean_idx = [list(range(n_clean))]
+                    entry = (splits, conj_words, clean_idx, n_clean)
+                    fresh[text] = entry
+                    if len(memo) < _SENT_MEMO_CAP:
+                        memo[text] = entry
+            for conv_id, turn_idx, sent_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"], pdf["text"]
             ):
-                coords = decode_coordinations(matrix)
-                texts, conj_words, idx_lists = split_by_coordinations(
-                    coords, tokens
-                )
-                n_clean = len(tokens) - len(SENTINELS)
-                if texts:
-                    splits = [_strip_sentinels(t) for t in texts]
-                    # index lists include sentinel positions (they sit past
-                    # every coordination span); the label sink works on the
-                    # clean original sentence, so strip them here
-                    clean_idx = [
-                        [i for i in sorted(s) if i < n_clean]
-                        for s in idx_lists
-                    ]
-                else:
-                    splits = [text]
-                    clean_idx = [list(range(n_clean))]
+                hit = memo.get(text)
+                if hit is None:
+                    hit = fresh[text]
+                splits, conj_words, clean_idx, n_clean = hit
                 for k, s in enumerate(splits):
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
@@ -167,21 +186,40 @@ def oie_stage(
     backend = backend or DeterministicBackend()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-local distinct-split-sentence memo: label + decode once per
+        # distinct split text (same rationale/bound as extract.fused)
+        from .fused import _SENT_MEMO_CAP
+
+        memo: dict[str, list] = {}
+
         for pdf in batches:
             out: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "sent_idx": [],
                 "split_idx": [], "ext_idx": [], "arg1": [], "rel": [],
                 "arg2": [], "confidence": [],
             }
-            token_lists = [t.split() + SENTINELS for t in pdf["split_text"]]
-            labeled = backend.oie_batch(token_lists)
-            for conv_id, turn_idx, sent_idx, split_idx, tokens, (rows, confs) in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
-                pdf["split_idx"], token_lists, labeled,
-            ):
-                for j, (arg1, rel, arg2, conf) in enumerate(
-                    decode_extractions(rows, tokens, confs)
+            fresh: dict[str, list] = {}
+            new = [
+                t for t in dict.fromkeys(pdf["split_text"]) if t not in memo
+            ]
+            if new:
+                token_lists = [t.split() + SENTINELS for t in new]
+                labeled = backend.oie_batch(token_lists)
+                for text, tokens, (rows, confs) in zip(
+                    new, token_lists, labeled
                 ):
+                    exts = list(decode_extractions(rows, tokens, confs))
+                    fresh[text] = exts
+                    if len(memo) < _SENT_MEMO_CAP:
+                        memo[text] = exts
+            for conv_id, turn_idx, sent_idx, split_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
+                pdf["split_idx"], pdf["split_text"],
+            ):
+                exts = memo.get(text)
+                if exts is None:  # ``new`` covered every non-memoized text
+                    exts = fresh[text]
+                for j, (arg1, rel, arg2, conf) in enumerate(exts):
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     out["sent_idx"].append(sent_idx)

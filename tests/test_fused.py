@@ -55,3 +55,69 @@ def test_fused_mention_counts(both):
         }
 
     assert counts(modular) == counts(fused)
+
+
+def test_fused_memo_replays_instances_across_batches(spark):
+    """Round-7 memoization witness: a corpus that is mostly REPEATED
+    sentence texts (forced across multiple Arrow batches in one task) must
+    produce row-for-row what the sequential (unmemoized) oracle produces
+    per instance, and the stage counters must count per INSTANCE, not per
+    distinct sentence."""
+    import datetime as dt
+
+    from openie_with_entities_spark.corpus import alias_dict
+    from openie_with_entities_spark.extract.fused import fused_extract_stage
+    from openie_with_entities_spark.linking import dictionary_surfaces
+    from openie_with_entities_spark.oracle import reference_triples
+    from openie_with_entities_spark.plans.metrics import (
+        FUSED_COUNTERS,
+        StageCounters,
+    )
+
+    texts = [
+        "Ada Lovelace founded Acme Corp .",   # entity-linking rows
+        "Ada Lovelace founded Acme Corp .",   # exact repeat
+        "Grace Hopper , Alan Turing and Ken Thompson visited Paris .",
+        "the quarterly report was finished on time .",  # no-entity filler
+    ]
+    n_turns = 5000  # > one 4096-row Arrow batch → cross-batch memo reuse
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c%05d" % (i // 4), i % 4, "user", texts[i % 4], None, ts)
+        for i in range(n_turns)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    counters = StageCounters(spark, "fused_memo_test", FUSED_COUNTERS)
+    out = fused_extract_stage(
+        t, dictionary_surfaces(alias_dict(spark)), partitions=1,
+        counters=counters,
+    ).collect()
+
+    expected_one = reference_triples(
+        [("k", 0, texts[0]), ("k", 1, texts[1]), ("k", 2, texts[2]),
+         ("k", 3, texts[3])]
+    )
+    per_turn = {}
+    for r in expected_one:
+        per_turn.setdefault(r["turn_idx"], []).append(
+            (r["arg1"], r["rel"], r["arg2"], r["confidence"])
+        )
+    got = {}
+    for r in out:
+        got.setdefault((r.conv_id, r.turn_idx), []).append(
+            (r.arg1, r.rel, r.arg2, r.confidence)
+        )
+    assert len(got) == sum(1 for _, ti, *_ in rows if per_turn.get(ti))
+    for (conv_id, ti), triples in got.items():
+        assert sorted(triples) == sorted(per_turn[ti]), (conv_id, ti)
+    # counters count instances: 5000 sentences in, one split row per
+    # non-coordination sentence + 3 per coordination sentence
+    tot = counters.snapshot()
+    assert tot["turns_in"] == n_turns
+    assert tot["sentences_in"] == n_turns
+    n_coord = len([i for i in range(n_turns) if i % 4 == 2])
+    assert tot["splits_out"] == (n_turns - n_coord) + 3 * n_coord
