@@ -63,10 +63,23 @@ def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | Non
     size and would shrink a text-sized corpus to a handful of partitions —
     correct for IO-bound SQL, disastrous for a CPU-bound model stage (7 of
     32 cores busy, measured). Inference stages are compute-bound, so
-    parallelism follows cores (×3 for stragglers), not bytes.
+    parallelism follows cores (×3 for stragglers), not bytes — but never
+    more than the input can feed: a tiny input (few scan splits) fanned out
+    to cores×3 partitions pays cores×3 Python-worker round-trips for
+    near-empty batches (round 7, measured on the 20-conv resume contracts).
+    The input-split probe is a plan→RDD conversion, no job; at production
+    scale the scan has thousands of splits, so the cap never binds and the
+    pinned cores×3 behavior is unchanged.
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism * 3
+        if not df.isStreaming:
+            try:
+                in_splits = df.rdd.getNumPartitions()
+            except Exception:  # pragma: no cover - exotic plans
+                in_splits = None
+            if in_splits:
+                partitions = max(min(partitions, in_splits * 4), 1)
     out = df.repartition(partitions, F.col("conv_id"))
     if out.isStreaming:  # sort unsupported on streams; batches are small
         return out

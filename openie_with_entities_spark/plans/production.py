@@ -128,22 +128,41 @@ def run_production(
     from ..canonicalize import materialize_graph
 
     graph_path = os.path.join(out_dir, "graph_edges")
-    materialize_graph(triples).write.mode("overwrite").parquet(graph_path)
-
+    metrics_path = os.path.join(out_dir, "metrics")
     violations = violation_counters(triples, alias).withColumn(
         "stage", F.lit("link")
     )
-    metrics_path = os.path.join(out_dir, "metrics")
-    violations.write.mode("overwrite").parquet(metrics_path)
-    # stage counters (accumulators filled while the extract stage ran).
-    # Write ONLY when the fused stage actually executed this run: a fully
-    # resumed run (every bucket skipped) and the salted path (which never
-    # touches these accumulators) would otherwise overwrite the previous
-    # run's real counters with zeros.
-    if link_mode != "salted" and run.buckets_processed > 0:
-        counters.to_df(spark).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "stage_counters")
-        )
+
+    # The three tail writes only READ the (checkpointed) triples table and
+    # are independent of each other: submit them from a small thread pool
+    # so the later jobs' tasks back-fill executors idled by the earlier
+    # jobs' stragglers (guide §2.6 overlap; job order/results unchanged).
+    def _write_graph() -> None:
+        materialize_graph(triples).write.mode("overwrite").parquet(graph_path)
+
+    def _write_metrics() -> None:
+        violations.write.mode("overwrite").parquet(metrics_path)
+
+    def _write_counters() -> None:
+        # stage counters (accumulators filled while the extract stage ran).
+        # Write ONLY when the fused stage actually executed this run: a
+        # fully resumed run (every bucket skipped) and the salted path
+        # (which never touches these accumulators) would otherwise
+        # overwrite the previous run's real counters with zeros.
+        if link_mode != "salted" and run.buckets_processed > 0:
+            counters.to_df(spark).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "stage_counters")
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(f)
+            for f in (_write_graph, _write_metrics, _write_counters)
+        ]
+        for fut in futures:
+            fut.result()  # surface the first failure, if any
 
     return ProductionResult(
         triples=triples,
