@@ -54,12 +54,10 @@ def _inner_pair(spans, cc):
 
 
 def evaluate_conjunctions(pred: DataFrame, gold: DataFrame) -> ConjScores:
-    # persist for the duration of the call: counts + the join would
+    # persist for the duration of the call: the counts + the join would
     # otherwise re-run each side's (model-labeling) lineage twice
     pred = pred.persist()
     gold = gold.persist()
-    n_pred = pred.count()
-    n_gold = gold.count()
 
     p = pred.select(
         "sent_key",
@@ -86,12 +84,22 @@ def evaluate_conjunctions(pred: DataFrame, gold: DataFrame) -> ConjScores:
     )
     exact = F.col("p_spans") == F.col("g_spans")
 
-    row = j.agg(
-        F.sum(whole.cast("long")).alias("whole"),
-        F.sum(outer.cast("long")).alias("outer"),
-        F.sum(inner.cast("long")).alias("inner"),
-        F.sum(exact.cast("long")).alias("exact"),
-    ).collect()[0]
+    # ONE action for counts + criteria (round 7): the two side counts and
+    # the join aggregate are tiny one-row results — crossJoining them into
+    # a single collect removes two driver round-trips per evaluation (the
+    # persisted inputs still compute once each inside the one job)
+    row = (
+        j.agg(
+            F.sum(whole.cast("long")).alias("whole"),
+            F.sum(outer.cast("long")).alias("outer"),
+            F.sum(inner.cast("long")).alias("inner"),
+            F.sum(exact.cast("long")).alias("exact"),
+        )
+        .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+        .crossJoin(gold.agg(F.count("*").alias("n_gold")))
+        .collect()[0]
+    )
+    n_pred, n_gold = row.n_pred, row.n_gold
     pred.unpersist()
     gold.unpersist()
 
