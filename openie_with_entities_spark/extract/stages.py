@@ -63,21 +63,36 @@ def _partition_for_inference(df: DataFrame, text_col: str, partitions: int | Non
     size and would shrink a text-sized corpus to a handful of partitions —
     correct for IO-bound SQL, disastrous for a CPU-bound model stage (7 of
     32 cores busy, measured). Inference stages are compute-bound, so
-    parallelism follows cores (×3 for stragglers), not bytes — but never
-    more than the input can feed: a tiny input (few scan splits) fanned out
-    to cores×3 partitions pays cores×3 Python-worker round-trips for
-    near-empty batches (round 7, measured on the 20-conv resume contracts).
-    The input-split probe is a plan→RDD conversion, no job; at production
-    scale the scan has thousands of splits, so the cap never binds and the
-    pinned cores×3 behavior is unchanged.
+    parallelism follows cores (×3 for stragglers), not bytes — but the
+    shuffle exists to FIX a parallelism deficit, not as a ritual (round 7,
+    guide §2.4: remove shuffles outright where the input is already
+    partitioned well enough):
+
+      * input already has ≥ cores partitions (any healthy production scan —
+        thousands of splits at 100 TB) → NO shuffle at all; the stage maps
+        over the scan splits and only the per-partition length sort runs.
+        Extraction is per-row, so placement never changes results.
+      * tiny input (few scan splits) → repartition, but only to 4× the
+        input's split count instead of cores×3: a 20-conv resume contract
+        was paying 96 near-empty Python-worker round trips.
+      * explicit ``partitions`` or a streaming source (no probe available)
+        → the caller-pinned / cores×3 hash repartition, as before.
+
+    The input-split probe is a plan→RDD conversion, no job.
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism * 3
         if not df.isStreaming:
+            cores = df.sparkSession.sparkContext.defaultParallelism
             try:
                 in_splits = df.rdd.getNumPartitions()
             except Exception:  # pragma: no cover - exotic plans
                 in_splits = None
+            if in_splits and in_splits >= cores:
+                # enough parallelism already — skip the shuffle entirely
+                return df.sortWithinPartitions(
+                    F.size(F.split(F.col(text_col), " "))
+                )
             if in_splits:
                 partitions = max(min(partitions, in_splits * 4), 1)
     out = df.repartition(partitions, F.col("conv_id"))
