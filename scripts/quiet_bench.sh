@@ -1,7 +1,9 @@
 #!/bin/bash
-# Probe every ~2 min; when 2 consecutive probes are clean (<1.35), run the
-# bench command bracketed by probes. Up to 3 bench attempts; stop early if
-# a bracketed-clean run lands. All probe values logged.
+# Probe every ~2 min; when 2 consecutive probes report CLEAN (the probe's
+# threshold: ratio < 1.6 — noise.CLEAN_THRESHOLD; the truly-quiet band on
+# this box is ~1.0-1.35), run the bench command bracketed by probes. Up to
+# 3 bench attempts; stop early if a bracketed-clean run lands. All probe
+# values logged — judge the window from the recorded ratios, not the tag.
 #
 # Usage: scripts/quiet_bench.sh [bench command...]   (default: python bench.py)
 # Output: /tmp/bench_quiet_<n>.json.log per attempt.
