@@ -13,7 +13,9 @@ between stages. Fusing the per-sentence pipeline:
   * performs the reference's insert-order extraction dedup
     (/root/reference/model.py:595-634) in-UDF (all splits of a sentence are
     computed together), removing the window-dedup shuffle;
-  * reduces the job to a SINGLE shuffle: the explicit conv_id repartition.
+  * reduces the job to AT MOST one shuffle: the explicit conv_id
+    repartition — and since round 7 even that is skipped when the input
+    scan already feeds every core (see stages._partition_for_inference).
 
 Equivalence with the modular path is asserted by tests/test_fused.py.
 

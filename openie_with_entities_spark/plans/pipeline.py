@@ -6,8 +6,9 @@ README.md:62), as one declarative DataFrame DAG.
                                    └→ mentions → link → canonicalize ┘
 
 Each arrow is either native Spark SQL or one of the mapInPandas stages; the
-whole DAG has exactly two shuffles before linking (the conv_id repartition in
-front of the conj stage, and the dedup/rank window aggregate).
+whole DAG has at most two shuffles before linking (the conv_id repartition
+in front of the conj stage — skipped since round 7 when the input scan
+already feeds every core — and the dedup/rank window aggregate).
 """
 
 from __future__ import annotations
@@ -90,7 +91,8 @@ def build_kg_fused(
 ) -> DataFrame:
     """Production/bench path: ONE mapInPandas pass over raw turns
     (segment + conj + OIE + dedup + mention summary fused) and map-literal
-    linking — a single shuffle (the conv_id repartition) in the whole job.
+    linking — at most one shuffle (the conv_id repartition, skipped when
+    the input scan already feeds every core) in the whole job.
     Result is identical to build_kg's linked_triples minus the
     n_mentions-null nuance (fused reports 0 where the modular left join
     reports null for mention-less args).
